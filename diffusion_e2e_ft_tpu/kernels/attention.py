@@ -1,0 +1,93 @@
+"""Attention ops: standard multi-head attention and GeoWizard's joint cross-task
+variant, with backend dispatch (XLA everywhere; Pallas flash attention on TPU).
+
+Capability parity: replaces the reference's xformers `memory_efficient_attention`
+CUDA path (`/root/reference/training/train.py:309-319`) and the joint-KV processor
+that concatenates the depth/normal batch halves along the sequence axis
+(`/root/reference/GeoWizard/geowizard/models/attention.py:480-497`).
+
+Layout: [B, L, num_heads, head_dim] (BTNH) — the layout `jax.nn.dot_product_attention`
+and our Pallas kernel both consume without transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_BACKEND: Optional[str] = None  # None = auto (pallas on TPU, else xla)
+
+
+def set_backend(name: Optional[str]) -> None:
+    """Force 'xla' or 'pallas', or None to auto-select."""
+    global _BACKEND
+    if name not in (None, "xla", "pallas"):
+        raise ValueError(f"Unknown attention backend: {name}")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    if _BACKEND is not None:
+        return _BACKEND
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def _xla_attention(q: Array, k: Array, v: Array, scale: Optional[float]) -> Array:
+    """Plain softmax attention in BTNH layout; XLA fuses this well on TPU and it is
+    the numerically-referenced fallback for the Pallas kernel."""
+    *_, n_heads, head_dim = q.shape
+    s = scale if scale is not None else head_dim**-0.5
+    # [B, N, Lq, Lk]
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bknd->bqnd", probs, v)
+
+
+def attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: Optional[float] = None,
+) -> Array:
+    """Multi-head attention over [B, L, N, D] tensors (self or cross: Lk may != Lq)."""
+    if get_backend() == "pallas":
+        from diffusion_e2e_ft_tpu.kernels import flash_attention
+
+        try:
+            return flash_attention.flash_attention(q, k, v, scale=scale)
+        except Exception:
+            # Shape/tiling not supported by the kernel — fall back to XLA.
+            return _xla_attention(q, k, v, scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def joint_attention(q: Array, k: Array, v: Array, *, scale: Optional[float] = None) -> Array:
+    """Cross-task joint self-attention for a [2B, L, N, D] task-paired batch.
+
+    The batch is the concatenation [depth_half; normal_half]. Each half's queries
+    attend over the *union* of both halves' keys/values (sequence-concat), so the two
+    task branches exchange information at every self-attention site. Equivalent to the
+    reference's joint processor but expressed as a leading task axis + KV concat, which
+    GSPMD treats as replicated (no sharding of the task pair).
+    """
+    two_b, L, N, D = q.shape
+    b = two_b // 2
+    qs = q.reshape(2, b, L, N, D)
+    ks = k.reshape(2, b, L, N, D)
+    vs = v.reshape(2, b, L, N, D)
+    # union K/V along sequence: [b, 2L, N, D]
+    k_cat = jnp.concatenate([ks[0], ks[1]], axis=1)
+    v_cat = jnp.concatenate([vs[0], vs[1]], axis=1)
+    out0 = attention(qs[0], k_cat, v_cat, scale=scale)
+    out1 = attention(qs[1], k_cat, v_cat, scale=scale)
+    return jnp.concatenate([out0, out1], axis=0)

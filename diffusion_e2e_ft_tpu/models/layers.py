@@ -1,0 +1,272 @@
+"""Shared building blocks for the SD2 model zoo (NHWC, Flax linen).
+
+Sub-module names intentionally mirror the HF checkpoint key structure (with `.N` list
+indices flattened to `_N`) so `models/convert.py` can map published weights with one
+generic rule instead of a hand-written table per layer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_e2e_ft_tpu import kernels
+
+Array = jax.Array
+
+
+def timestep_embedding(
+    timesteps: Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> Array:
+    """Sinusoidal timestep features [B, dim] (SD2 layout: cos-first)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = jnp.asarray(timesteps, jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def sincos_projection(x: Array, dim: int, *, flip_sin_to_cos: bool = True) -> Array:
+    """Sin/cos featurization of a flat conditioning vector (GeoWizard's switcher path:
+    each scalar is embedded like a timestep, features concatenated)."""
+    b, n = x.shape
+    flat = timestep_embedding(
+        x.reshape(-1), dim, flip_sin_to_cos=flip_sin_to_cos, downscale_freq_shift=1.0
+    )
+    return flat.reshape(b, n * dim)
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting sinusoidal features to the embedding width."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv3x3 (+ time-emb shift) -> GN -> SiLU -> conv3x3, residual."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv. The VAE encoder variant pads bottom/right only (asymmetric),
+    matching the reference weights' expected spatial phase."""
+
+    channels: int
+    asymmetric: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.asymmetric:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = ((1, 1), (1, 1))
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=pad,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x (or to an explicit target size, so odd skip sizes reconnect) + conv."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, out_hw: Optional[tuple] = None) -> Array:
+        b, h, w, c = x.shape
+        target = out_hw if out_hw is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, target[0], target[1], c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None; `joint=True` runs the
+    GeoWizard cross-task variant (K/V unioned across the two task halves)."""
+
+    num_heads: int
+    head_dim: int
+    joint: bool = False
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.num_heads, self.head_dim)
+        k = k.reshape(b, lk, self.num_heads, self.head_dim)
+        v = v.reshape(b, lk, self.num_heads, self.head_dim)
+
+        if self.joint and context is None:
+            out = kernels.joint_attention(q, k, v)
+        else:
+            out = kernels.attention(q, k, v)
+        out = out.reshape(b, lq, inner)
+        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class TransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, all residual (SD2 basic block)."""
+
+    num_heads: int
+    head_dim: int
+    joint_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, joint=self.joint_attention,
+            dtype=self.dtype, name="attn1",
+        )(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, dtype=self.dtype, name="attn2"
+        )(h, context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        return x + FeedForward(self.num_heads * self.head_dim, dtype=self.dtype, name="ff")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> linear proj_in -> N transformer blocks -> linear proj_out, residual.
+
+    SD2 uses linear (not 1x1-conv) projections (`use_linear_projection=True`).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    groups: int = 32
+    joint_attention: bool = False
+    use_linear_projection: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        inner = self.num_heads * self.head_dim
+        hidden = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
+        if self.use_linear_projection:
+            hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
+        else:
+            hidden = hidden.reshape(b, h, w, c)
+            hidden = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
+            hidden = hidden.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            hidden = TransformerBlock(
+                self.num_heads, self.head_dim, joint_attention=self.joint_attention,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(hidden, context)
+        if self.use_linear_projection:
+            hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+            hidden = hidden.reshape(b, h, w, c)
+        else:
+            hidden = hidden.reshape(b, h, w, inner)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(hidden)
+        return hidden + residual
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention used by the VAE mid blocks."""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        hidden = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)
+        out = kernels.attention(
+            q.reshape(b, h * w, 1, c), k.reshape(b, h * w, 1, c), v.reshape(b, h * w, 1, c)
+        ).reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return out.reshape(b, h, w, c) + residual

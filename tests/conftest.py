@@ -1,13 +1,20 @@
 """Test harness: force CPU with 8 virtual devices so multi-chip sharding paths are
-exercised without TPU hardware. Must run before jax is imported anywhere."""
+exercised without TPU hardware.
+
+The environment's sitecustomize registers the axon TPU PJRT plugin in every process
+and pins `jax_platforms` there, so the env var alone is not enough — we override the
+config after import, before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+if not os.environ.get("E2EFT_TEST_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
