@@ -141,6 +141,44 @@ def save_state_dict(state_dict: Mapping[str, np.ndarray], path: str) -> None:
     save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)
 
 
+def clip_state_dict_to_params(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPTextModel / CLIPVisionModelWithProjection weights -> our Flax params.
+
+    Strips the `text_model.`/`vision_model.`/`embeddings.`/`encoder.` nesting (our
+    modules are flat) and maps embedding tables without the 2-D linear transpose.
+    """
+    tree: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        if key.startswith("text_projection") or "position_ids" in key:
+            continue  # text projection / buffer indices are unused by the reference flows
+        key = (
+            key.replace("text_model.", "")
+            .replace("vision_model.", "")
+            .replace("embeddings.", "")
+            .replace("encoder.", "")
+        )
+        is_embed = (
+            key.endswith("token_embedding.weight")
+            or key.endswith("position_embedding.weight")
+        )
+        if is_embed:
+            base = torch_key_to_flax_path(key.rsplit(".", 1)[0], 0)  # path sans 'weight'
+            path = base + ("embedding",)
+            leaf = jnp.asarray(value)
+        elif key == "class_embedding":
+            path = ("class_embedding",)
+            leaf = jnp.asarray(value)
+        else:
+            path = torch_key_to_flax_path(key, value.ndim)
+            leaf = jnp.asarray(_to_flax_value(path, value))
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+    return tree
+
+
 def replace_conv_in(params: Dict[str, Any], repeat: int = 2) -> Dict[str, Any]:
     """Duplicate conv_in input channels 4 -> 4*repeat, scaling weights AND bias by
     1/repeat — the reference's UNet input surgery, reproduced exactly (including the

@@ -1,0 +1,261 @@
+"""The end-to-end fine-tuning step, jitted and GSPMD-data-parallel.
+
+Capability parity: the reference's hot loop (`/root/reference/training/train.py:465-607`):
+frozen-VAE latent encode, t=999, zeros/pyramid/gaussian noisy latent, UNet forward,
+x0 recovery from the parameterized prediction, frozen-VAE decode *inside the
+differentiated graph*, channel-mean/unit-norm task postprocessing, SSI or angular
+loss with NaN guard, AdamW + global-norm clip + IterExponential schedule, gradient
+accumulation, EMA (GeoWizard, `train_depth_normal.py:352-353,784-786`).
+
+TPU-first: one jitted `train_step(state, batch, key)`; gradient accumulation via
+`optax.MultiSteps` (so the accumulation loop is K invocations of the same compiled
+graph, matching accelerate's semantics); `jax.checkpoint` on the UNet apply for the
+decoder-in-the-loop memory; data parallelism by sharding the batch leaves over a
+`Mesh(('data',))` — the gradient all-reduce is a GSPMD-inserted psum, and the logged
+loss is the global mean (the reference's `accelerator.gather(...).mean()`).
+
+In-jit pyramid noise: the octave *scale schedule* (host randomness in the reference)
+is drawn once at trainer construction from the config seed and baked as static
+metadata; per-octave gaussians remain per-step `jax.random` draws. Same noise family,
+jit-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusion_e2e_ft_tpu.models import AutoencoderKL, UNet2DCondition
+from diffusion_e2e_ft_tpu.ops import losses as L
+from diffusion_e2e_ft_tpu.ops import noise as noise_ops
+from diffusion_e2e_ft_tpu.ops import scheduler as sched_ops
+from diffusion_e2e_ft_tpu.parallel import batch_sharding, replicated, shard_batch
+from diffusion_e2e_ft_tpu.training.config import TrainConfig
+from diffusion_e2e_ft_tpu.training.lr import iter_exponential_schedule
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    step: Array  # optimizer (sync) step count
+    micro_step: Array  # micro-batch count (step * accum + k)
+    params: Any  # trainable UNet params
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+class E2ETrainer:
+    """Builds and runs the jitted E2E fine-tuning step for one UNet."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        unet: UNet2DCondition,
+        vae: AutoencoderKL,
+        vae_params: Any,
+        empty_text_embed: np.ndarray,  # [1, L, D] CLIP embedding of ""
+        scheduler_config: Optional[sched_ops.SchedulerConfig] = None,
+        latent_scale: float = 0.18215,
+    ):
+        self.config = config
+        self.unet = unet
+        self.vae = vae
+        self.vae_params = vae_params
+        self.empty_text_embed = jnp.asarray(empty_text_embed, jnp.float32)
+        self.scheduler_config = scheduler_config or sched_ops.SchedulerConfig(
+            prediction_type=config.prediction_type
+        )
+        self.schedule = sched_ops.make_schedule(self.scheduler_config)
+        self.latent_scale = latent_scale
+
+        # static pyramid-noise octave schedule (see module docstring)
+        rng = np.random.default_rng(config.seed)
+        self._pyramid_scales = rng.random(10) * 2.0 + 2.0
+
+        self.optimizer = self._build_optimizer()
+
+    # ------------------------------------------------------------------
+    # Optimizer
+    # ------------------------------------------------------------------
+
+    def _build_optimizer(self) -> optax.GradientTransformation:
+        c = self.config
+        # the reference scales schedule lengths by DP degree (train.py:356)
+        lr = iter_exponential_schedule(
+            c.learning_rate,
+            c.lr_total_iter_length * c.num_data_parallel,
+            c.lr_final_ratio,
+            c.lr_warmup_steps * c.num_data_parallel,
+        )
+        base = optax.chain(
+            optax.clip_by_global_norm(c.max_grad_norm),
+            optax.adamw(
+                lr,
+                b1=c.adam_beta1,
+                b2=c.adam_beta2,
+                eps=c.adam_epsilon,
+                weight_decay=c.adam_weight_decay,
+            ),
+        )
+        if c.class_embedding_lr_mult != 1.0:
+            # GeoWizard gives the switcher class-embedding a 10x LR group
+            # (train_depth_normal.py:428-444)
+            def label_fn(params):
+                return jax.tree.map_with_path(
+                    lambda path, _: "class_embedding"
+                    if any(getattr(p, "key", None) == "class_embedding" for p in path)
+                    else "base",
+                    params,
+                )
+
+            boosted = optax.chain(
+                optax.clip_by_global_norm(c.max_grad_norm),
+                optax.adamw(
+                    lambda s: lr(s) * c.class_embedding_lr_mult,
+                    b1=c.adam_beta1,
+                    b2=c.adam_beta2,
+                    eps=c.adam_epsilon,
+                    weight_decay=c.adam_weight_decay,
+                ),
+            )
+            base = optax.multi_transform(
+                {"base": base, "class_embedding": boosted}, label_fn
+            )
+        if c.gradient_accumulation_steps > 1:
+            base = optax.MultiSteps(base, every_k_schedule=c.gradient_accumulation_steps)
+        return base
+
+    def init_state(self, unet_params: Any) -> TrainState:
+        opt_state = self.optimizer.init(unet_params)
+        ema = jax.tree.map(jnp.copy, unet_params) if self.config.use_ema else None
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            micro_step=jnp.zeros((), jnp.int32),
+            params=unet_params,
+            opt_state=opt_state,
+            ema_params=ema,
+        )
+
+    # ------------------------------------------------------------------
+    # Forward + loss
+    # ------------------------------------------------------------------
+
+    def _make_noisy_latents(self, key: jax.Array, shape) -> Array:
+        nt = self.config.noise_type
+        if nt is None or nt == "zeros":
+            return jnp.zeros(shape, jnp.float32)
+        if nt == "gaussian":
+            return jax.random.normal(key, shape, jnp.float32)
+        if nt == "pyramid":
+            b, h, w, c = shape
+            sizes = noise_ops._octave_sizes(h, w, self._pyramid_scales)
+            noise = jax.random.normal(key, shape, jnp.float32)
+            keys = jax.random.split(key, len(sizes))
+            for i, (oh, ow) in enumerate(sizes):
+                octave = jax.random.normal(keys[i], (b, oh, ow, c), jnp.float32)
+                up = jax.image.resize(octave, shape, method="bilinear")
+                noise = noise + up * (0.9**i)
+            return noise / jnp.std(noise, ddof=1)
+        raise ValueError(f"Unknown noise type: {nt}")
+
+    def _loss(self, unet_params, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
+        c = self.config
+        rgb = batch["rgb"].astype(jnp.float32)  # [B,H,W,3] in [-1,1]
+        mask = batch["val_mask"]
+        b = rgb.shape[0]
+
+        # frozen VAE encode (no gradient needed into the encoder)
+        rgb_latents = jax.lax.stop_gradient(
+            self.vae.apply({"params": self.vae_params}, rgb, method=self.vae.encode_mean)
+            * self.latent_scale
+        )
+
+        t = jnp.full((b,), self.scheduler_config.num_train_timesteps - 1, jnp.int32)
+        noisy = self._make_noisy_latents(key, rgb_latents.shape)
+
+        context = jnp.broadcast_to(
+            self.empty_text_embed[0][None], (b,) + self.empty_text_embed.shape[1:]
+        )
+        unet_in = (
+            jnp.concatenate([rgb_latents, noisy], axis=-1)
+            if c.noise_type is not None
+            else rgb_latents
+        )
+        apply = self.unet.apply
+        if c.gradient_checkpointing:
+            apply = jax.checkpoint(apply)
+        model_pred = apply({"params": unet_params}, unet_in, t, context)
+
+        x0 = sched_ops.pred_original_sample(
+            self.scheduler_config, self.schedule, model_pred.astype(jnp.float32), t, noisy
+        )
+        decoded = self.vae.apply(
+            {"params": self.vae_params}, x0 / self.latent_scale, method=self.vae.decode
+        ).astype(jnp.float32)
+
+        if c.modality == "depth":
+            est = jnp.clip(jnp.mean(decoded, axis=-1), -1.0, 1.0)  # [B,H,W]
+            loss = L.nan_guarded(L.ssi_loss(est, batch["target"], mask))
+        elif c.modality == "normals":
+            norm = jnp.linalg.norm(decoded, axis=-1, keepdims=True) + 1e-5
+            est = jnp.clip(decoded / norm, -1.0, 1.0)
+            loss = L.nan_guarded(L.angular_loss(est, batch["target"], mask))
+        else:
+            raise ValueError(f"Unknown modality: {c.modality}")
+
+        # an all-invalid batch contributes zero loss, as in the reference's
+        # `if val_mask.any()` skip (train.py:504)
+        any_valid = jnp.any(mask)
+        loss = jnp.where(any_valid, loss, 0.0)
+        return loss, {"loss": loss}
+
+    # ------------------------------------------------------------------
+    # Train step
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch: Dict[str, Array], key: jax.Array):
+        """One micro-batch step. With gradient accumulation, the optimizer only
+        applies updates every K-th call (optax.MultiSteps), matching
+        `accelerator.accumulate`."""
+        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch, key
+        )
+        updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        micro = state.micro_step + 1
+        k = self.config.gradient_accumulation_steps
+        synced = (micro % k) == 0
+        step = state.step + jnp.asarray(synced, jnp.int32)
+
+        ema = state.ema_params
+        if ema is not None:
+            d = self.config.ema_decay
+            new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, new_params)
+            ema = jax.tree.map(
+                lambda e, n: jnp.where(synced, n, e), ema, new_ema
+            )
+        new_state = TrainState(
+            step=step, micro_step=micro, params=new_params, opt_state=new_opt, ema_params=ema
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["lr_step"] = step
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # GSPMD data parallelism
+    # ------------------------------------------------------------------
+
+    def shard(self, state: TrainState, batch: Dict[str, Array], mesh):
+        """Place params replicated and batch sharded over the 'data' axis; the jitted
+        step then runs SPMD with GSPMD-inserted gradient reductions."""
+        state = jax.device_put(state, replicated(mesh))
+        batch = shard_batch(batch, mesh)
+        return state, batch

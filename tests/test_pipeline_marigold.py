@@ -1,0 +1,94 @@
+import jax
+import numpy as np
+import pytest
+
+from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return MarigoldPipeline.from_random(jax.random.key(0))
+
+
+def _img(h=96, w=128):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+
+
+class TestDepth:
+    def test_single_step_defaults(self, pipe):
+        out = pipe(_img(), processing_res=64)
+        assert out.depth_np.shape == (96, 128)  # matched back to input res
+        assert out.depth_np.min() >= 0.0 and out.depth_np.max() <= 1.0
+        assert np.isfinite(out.depth_np).all()
+        assert out.depth_colored.shape == (96, 128, 3)
+        assert out.depth_colored.dtype == np.uint8
+        assert out.uncertainty is None
+
+    def test_no_match_input_res(self, pipe):
+        out = pipe(_img(), processing_res=64, match_input_res=False)
+        assert out.depth_np.shape == (48, 64)
+
+    def test_processing_res_zero_keeps_size(self, pipe):
+        out = pipe(_img(64, 64), processing_res=0)
+        assert out.depth_np.shape == (64, 64)
+
+    def test_deterministic_zeros_noise(self, pipe):
+        a = pipe(_img(), processing_res=64, color_map=None)
+        b = pipe(_img(), processing_res=64, color_map=None)
+        np.testing.assert_array_equal(a.depth_np, b.depth_np)
+
+    def test_multi_step(self, pipe):
+        out = pipe(_img(), processing_res=64, denoising_steps=4, noise="gaussian", seed=1)
+        assert np.isfinite(out.depth_np).all()
+
+    def test_ensemble(self, pipe):
+        out = pipe(
+            _img(), processing_res=64, ensemble_size=3, noise="gaussian", seed=1, color_map=None
+        )
+        assert out.depth_np.shape == (96, 128)
+        assert out.uncertainty is not None
+        assert np.isfinite(out.depth_np).all()
+
+    def test_seed_reproducible_gaussian(self, pipe):
+        a = pipe(_img(), processing_res=64, noise="gaussian", seed=7, color_map=None)
+        b = pipe(_img(), processing_res=64, noise="gaussian", seed=7, color_map=None)
+        np.testing.assert_array_equal(a.depth_np, b.depth_np)
+        c = pipe(_img(), processing_res=64, noise="gaussian", seed=8, color_map=None)
+        assert not np.array_equal(a.depth_np, c.depth_np)
+
+    def test_pyramid_noise(self, pipe):
+        out = pipe(_img(), processing_res=64, noise="pyramid", seed=1, color_map=None)
+        assert np.isfinite(out.depth_np).all()
+
+    def test_bad_args(self, pipe):
+        with pytest.raises(ValueError):
+            pipe(_img(), denoising_steps=0)
+        with pytest.raises(ValueError):
+            pipe(_img(), ensemble_size=0)
+        with pytest.raises(ValueError):
+            pipe(np.zeros((4, 4), np.uint8))
+
+
+class TestNormals:
+    def test_single_step(self, pipe):
+        out = pipe(_img(), processing_res=64, normals=True)
+        assert out.normal_np.shape == (96, 128, 3)
+        norms = np.linalg.norm(out.normal_np, axis=-1)
+        assert np.all(norms <= 1.0 + 1e-4)
+        assert out.normal_colored.dtype == np.uint8
+        assert out.depth_np is None
+
+    def test_ensemble_normals(self, pipe):
+        out = pipe(
+            _img(), processing_res=64, normals=True, ensemble_size=2, noise="gaussian", seed=1
+        )
+        assert out.normal_np.shape == (96, 128, 3)
+        assert np.isfinite(out.normal_np).all()
+
+
+def test_find_batch_size():
+    assert MarigoldPipeline.find_batch_size(1, 768) == 1
+    assert MarigoldPipeline.find_batch_size(10, 768) == 4
+    assert MarigoldPipeline.find_batch_size(10, 512) == 8
+    assert MarigoldPipeline.find_batch_size(10, 1024) == 2

@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_e2e_ft_tpu.models import (
+    AutoencoderKL,
+    UNet2DCondition,
+    UNetConfig,
+    VAEConfig,
+)
+from diffusion_e2e_ft_tpu.parallel import make_mesh
+from diffusion_e2e_ft_tpu.training import E2ETrainer, TrainConfig
+from diffusion_e2e_ft_tpu.training.lr import iter_exponential_schedule
+
+
+def make_models(in_channels=8):
+    ucfg = UNetConfig.tiny(in_channels=in_channels)
+    vcfg = VAEConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1, norm_num_groups=4)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vcfg)
+    unet_params = unet.init(
+        jax.random.key(0), jnp.ones((1, 8, 8, in_channels)), jnp.asarray(999), jnp.ones((1, 2, 32))
+    )["params"]
+    vae_params = vae.init(jax.random.key(1), jnp.ones((1, 64, 64, 3)))["params"]
+    return unet, vae, unet_params, vae_params
+
+
+def make_batch(b=2, h=64, w=64, modality="depth", seed=0):
+    rng = np.random.default_rng(seed)
+    batch = {
+        "rgb": jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)),
+        "val_mask": jnp.asarray(rng.random((b, h, w)) > 0.2),
+    }
+    if modality == "depth":
+        batch["target"] = jnp.asarray(rng.uniform(-1, 1, (b, h, w)).astype(np.float32))
+    else:
+        n = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        batch["target"] = jnp.asarray(n)
+    return batch
+
+
+class TestLRSchedule:
+    def test_warmup_and_decay(self):
+        s = iter_exponential_schedule(1.0, 1000, final_ratio=0.01, warmup_steps=100)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(50)), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(100)), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(float(s(1000)), 0.01, rtol=1e-5)
+        np.testing.assert_allclose(float(s(5000)), 0.01, rtol=1e-5)
+        # halfway through decay: exp(0.5 * ln(0.01)) = 0.1
+        np.testing.assert_allclose(float(s(550)), 0.1, rtol=1e-4)
+
+
+class TestTrainStep:
+    @pytest.mark.parametrize("modality", ["depth", "normals"])
+    def test_loss_decreases_params_change(self, modality):
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(
+            modality=modality,
+            gradient_accumulation_steps=1,
+            learning_rate=1e-3,
+            lr_warmup_steps=0,
+            gradient_checkpointing=False,
+        )
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        orig = jax.tree.map(np.asarray, up)  # host copy: train_step donates state
+        batch = make_batch(modality=modality)
+        s1, m1 = trainer.train_step(state, dict(batch), jax.random.key(0))
+        assert np.isfinite(float(m1["loss"]))
+        assert int(s1.step) == 1
+        # params changed
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), s1.params, orig)
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_grad_accumulation_steps_sync(self):
+        unet, vae, up, vp = make_models()
+        # lr_warmup_steps=0: with warmup the first synced update has lr=0 (matching
+        # the reference schedule) and params would legitimately not move
+        cfg = TrainConfig(gradient_accumulation_steps=2, gradient_checkpointing=False, lr_warmup_steps=0)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        orig = jax.tree.map(np.asarray, up)
+        batch = make_batch()
+        s1, _ = trainer.train_step(state, dict(batch), jax.random.key(0))
+        assert int(s1.step) == 0  # not yet synced
+        # params unchanged until the K-th micro step
+        diff = max(
+            jax.tree.leaves(
+                jax.tree.map(lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), s1.params, orig)
+            )
+        )
+        assert diff == 0.0
+        s2, _ = trainer.train_step(s1, make_batch(seed=1), jax.random.key(1))
+        assert int(s2.step) == 1
+        diff = max(
+            jax.tree.leaves(
+                jax.tree.map(lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), s2.params, orig)
+            )
+        )
+        assert diff > 0.0
+
+    def test_all_invalid_mask_zero_loss_no_nan(self):
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(gradient_accumulation_steps=1, gradient_checkpointing=False)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        batch = make_batch()
+        batch["val_mask"] = jnp.zeros_like(batch["val_mask"])
+        s1, m = trainer.train_step(state, batch, jax.random.key(0))
+        assert float(m["loss"]) == 0.0
+        assert all(np.isfinite(x).all() for x in jax.tree.leaves(s1.params))
+
+    def test_raw_sd_mode_no_noise_concat(self):
+        unet, vae, up, vp = make_models(in_channels=4)
+        cfg = TrainConfig(noise_type=None, gradient_accumulation_steps=1, gradient_checkpointing=False)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        _, m = trainer.train_step(state, make_batch(), jax.random.key(0))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_pyramid_noise_training(self):
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(noise_type="pyramid", gradient_accumulation_steps=1, gradient_checkpointing=False)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        _, m = trainer.train_step(state, make_batch(), jax.random.key(0))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_ema(self):
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(
+            use_ema=True, gradient_accumulation_steps=1, gradient_checkpointing=False,
+            learning_rate=1e-2, lr_warmup_steps=0,
+        )
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        orig = jax.tree.map(np.asarray, up)
+        s1, _ = trainer.train_step(state, make_batch(), jax.random.key(0))
+        assert s1.ema_params is not None
+        # EMA moved toward new params but not equal to them
+        d_ema = max(
+            jax.tree.leaves(
+                jax.tree.map(lambda a, b: float(jnp.abs(np.asarray(a) - b).max()), s1.ema_params, orig)
+            )
+        )
+        assert d_ema > 0.0
+
+
+class TestDataParallel:
+    def test_sharded_step_on_virtual_mesh(self):
+        """The full train step over an 8-device CPU mesh: batch sharded, params
+        replicated, loss equals the single-device loss on the same global batch."""
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(gradient_accumulation_steps=1, gradient_checkpointing=False)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        state = trainer.init_state(up)
+        batch = make_batch(b=8)
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        sstate, sbatch = trainer.shard(state, dict(batch), mesh)
+        s1, m1 = trainer.train_step(sstate, sbatch, jax.random.key(0))
+        s1_ref, m1_ref = trainer.train_step(state, dict(batch), jax.random.key(0))
+        np.testing.assert_allclose(float(m1["loss"]), float(m1_ref["loss"]), rtol=2e-4)
