@@ -7,5 +7,6 @@ the scipy-BFGS depth ensembling.
 """
 
 from diffusion_e2e_ft_tpu.pipelines.marigold import MarigoldPipeline, MarigoldOutput
+from diffusion_e2e_ft_tpu.pipelines.geowizard import GeoWizardPipeline, GeoWizardOutput
 
-__all__ = ["MarigoldPipeline", "MarigoldOutput"]
+__all__ = ["MarigoldPipeline", "MarigoldOutput", "GeoWizardPipeline", "GeoWizardOutput"]

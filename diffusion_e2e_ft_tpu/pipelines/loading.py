@@ -258,6 +258,31 @@ def load_marigold_pipeline(path: str, dtype=jnp.float32):
     return MarigoldPipeline(unet, vae, unet_params, vae_params, sched_cfg, empty, dtype=dtype)
 
 
+def load_geowizard_pipeline(path: str, dtype=jnp.float32):
+    """Assemble a GeoWizardPipeline from an HF pipeline directory (expects an
+    `image_encoder` subfolder with a CLIP vision tower + projection)."""
+    from diffusion_e2e_ft_tpu.pipelines.geowizard import GeoWizardPipeline
+
+    unet, unet_params, ucfg = load_unet(os.path.join(path, "unet"))
+    if ucfg.class_embed_proj_dim is not None and not ucfg.joint_attention:
+        # the joint cross-task attention is a runtime flag, not an HF config field
+        ucfg = ucfg.replace(joint_attention=True)
+        unet = UNet2DCondition(ucfg)
+    vae, vae_params, _ = load_vae(os.path.join(path, "vae"))
+    sched_cfg = scheduler_config_from_hf(
+        _read_json(os.path.join(path, "scheduler", "scheduler_config.json"))
+    )
+    enc_dir = os.path.join(path, "image_encoder")
+    vis_cfg = vision_config_from_hf(_read_json(os.path.join(enc_dir, "config.json")))
+    enc = clip_models.CLIPVisionModelWithProjection(vis_cfg)
+    enc_params = convert.clip_state_dict_to_params(
+        convert.load_state_dict(_find_weights(enc_dir))
+    )
+    return GeoWizardPipeline(
+        unet, vae, enc, unet_params, vae_params, enc_params, sched_cfg, dtype=dtype
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export (HF layout)
 # ---------------------------------------------------------------------------

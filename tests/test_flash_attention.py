@@ -1,0 +1,125 @@
+"""Flash-attention kernel numerics (Pallas interpreter on CPU) vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+attn = importlib.import_module("diffusion_e2e_ft_tpu.kernels.attention")
+from diffusion_e2e_ft_tpu.kernels import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = False
+
+
+def _mk(b, l, n, d, lk=None, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    lk = lk or l
+    q = rng.normal(size=(b, l, n, d)).astype(dtype)
+    k = rng.normal(size=(b, lk, n, d)).astype(dtype)
+    v = rng.normal(size=(b, lk, n, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+class TestNumerics:
+    def test_matches_xla_exact_blocks(self):
+        q, k, v = _mk(2, 512, 2, 64)
+        out = fa.flash_attention(q, k, v)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_q_padding_path(self):
+        """L=576 pads q to 768 (3 blocks of 256); kv chunk 192."""
+        q, k, v = _mk(1, 576, 2, 64)
+        out = fa.flash_attention(q, k, v)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_cross_lengths(self):
+        """Joint-attention shape: Lk = 2 * Lq."""
+        q, k, v = _mk(2, 256, 2, 64, lk=512)
+        out = fa.flash_attention(q, k, v)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_custom_scale(self):
+        q, k, v = _mk(1, 256, 1, 64)
+        out = fa.flash_attention(q, k, v, scale=0.5)
+        ref = attn._xla_attention(q, k, v, 0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_bf16_inputs(self):
+        q, k, v = _mk(1, 256, 2, 64)
+        out = fa.flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        )
+        ref = attn._xla_attention(q, k, v, None)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+        )
+
+    def test_gradients_flow(self):
+        q, k, v = _mk(1, 256, 1, 64)
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(attn._xla_attention(q, k, v, None) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+class TestEnvelope:
+    def test_rejects_big_head_dim(self):
+        q, k, v = _mk(1, 256, 1, 256)
+        with pytest.raises(ValueError):
+            fa.flash_attention(q, k, v)
+
+    def test_rejects_short_sequence(self):
+        q, k, v = _mk(1, 64, 1, 64)
+        with pytest.raises(ValueError):
+            fa.flash_attention(q, k, v)
+
+    def test_rejects_indivisible_kv(self):
+        q, k, v = _mk(1, 256, 1, 64, lk=300)
+        with pytest.raises(ValueError):
+            fa.flash_attention(q, k, v)
+
+    def test_rejects_oversized_kv(self):
+        # 2 * 18432 * 128 * 4 bytes > budget
+        q = jnp.zeros((1, 256, 1, 64))
+        k = jnp.zeros((1, 18432, 1, 64))
+        with pytest.raises(ValueError):
+            fa.flash_attention(q, k, k)
+
+    def test_dispatcher_falls_back(self):
+        """attention() must transparently fall back to XLA outside the envelope."""
+        attn.set_backend("pallas")
+        try:
+            q, k, v = _mk(1, 64, 1, 64)  # too short for the kernel
+            out = attn.attention(q, k, v)
+            ref = attn._xla_attention(q, k, v, None)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        finally:
+            attn.set_backend(None)
+
+    def test_dispatcher_uses_pallas_in_envelope(self):
+        attn.set_backend("pallas")
+        try:
+            q, k, v = _mk(1, 256, 2, 64)
+            out = attn.attention(q, k, v)
+            ref = attn._xla_attention(q, k, v, None)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        finally:
+            attn.set_backend(None)

@@ -160,7 +160,9 @@ class TestDataParallel:
         batch = make_batch(b=8)
         mesh = make_mesh()
         assert mesh.devices.size == 8
+        # deep-copy: train_step donates its state, and device_put may alias buffers
+        ref_state = jax.tree.map(lambda x: jnp.array(x), state)
         sstate, sbatch = trainer.shard(state, dict(batch), mesh)
         s1, m1 = trainer.train_step(sstate, sbatch, jax.random.key(0))
-        s1_ref, m1_ref = trainer.train_step(state, dict(batch), jax.random.key(0))
+        s1_ref, m1_ref = trainer.train_step(ref_state, dict(batch), jax.random.key(0))
         np.testing.assert_allclose(float(m1["loss"]), float(m1_ref["loss"]), rtol=2e-4)
