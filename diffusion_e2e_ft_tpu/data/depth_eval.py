@@ -138,9 +138,17 @@ class DepthEvalDataset:
         self.is_tar = os.path.isfile(dataset_path) and tarfile.is_tarfile(dataset_path)
 
     # -- raw IO ---------------------------------------------------------
+    # Uses the native C++ layer (indexed tar reads + libpng/libjpeg decode,
+    # native/e2eft_io.cc) when built; falls back to tarfile/PIL otherwise.
 
     def _read_bytes(self, rel_path: str) -> bytes:
+        from diffusion_e2e_ft_tpu import native_io
+
         if self.is_tar:
+            if native_io.AVAILABLE:
+                if self._tar is None:
+                    self._tar = native_io.NativeTar(self.dataset_path)
+                return self._tar.read(rel_path)
             if self._tar is None:
                 self._tar = tarfile.open(self.dataset_path)
             f = self._tar.extractfile("./" + rel_path)
@@ -151,9 +159,17 @@ class DepthEvalDataset:
             return f.read()
 
     def _read_image(self, rel_path: str) -> np.ndarray:
+        from diffusion_e2e_ft_tpu import native_io
+
+        data = self._read_bytes(rel_path)
+        if native_io.AVAILABLE:
+            try:
+                return native_io.decode_image(data)
+            except ValueError:
+                pass  # uncommon formats (e.g. bmp) go through PIL
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(self._read_bytes(rel_path))))
+        return np.asarray(Image.open(io.BytesIO(data)))
 
     def _read_depth(self, rel_path: str) -> np.ndarray:
         s = self.spec

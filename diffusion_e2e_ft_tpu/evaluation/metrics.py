@@ -105,7 +105,8 @@ def silog_rmse(depth_pred, depth_gt, valid_mask=None) -> float:
     n = jnp.sum(m, axis=(-1, -2))
     first = jnp.sum(d**2, axis=(-1, -2)) / n
     second = jnp.sum(d, axis=(-1, -2)) ** 2 / n**2
-    return float(jnp.sqrt(jnp.mean(first - second)) * 100.0)
+    # fp cancellation can push the variance a hair below zero on near-constant input
+    return float(jnp.sqrt(jnp.maximum(jnp.mean(first - second), 0.0)) * 100.0)
 
 
 DEPTH_METRIC_FUNCS = {

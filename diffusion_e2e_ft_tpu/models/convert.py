@@ -76,7 +76,7 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
         # split trailing _N back into '.N' only for known list containers
         if m and m.group(1) in (
             "resnets", "attentions", "down_blocks", "up_blocks", "downsamplers",
-            "upsamplers", "transformer_blocks", "net", "to_out",
+            "upsamplers", "transformer_blocks", "net", "to_out", "layers",
         ):
             parts.extend([m.group(1), m.group(2)])
         else:

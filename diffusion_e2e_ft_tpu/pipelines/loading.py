@@ -288,6 +288,44 @@ def load_geowizard_pipeline(path: str, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def vision_config_to_hf(c: clip_models.CLIPVisionConfig) -> Dict[str, Any]:
+    return {
+        "architectures": ["CLIPVisionModelWithProjection"],
+        "model_type": "clip_vision_model",
+        "hidden_size": c.hidden_size,
+        "num_hidden_layers": c.num_layers,
+        "num_attention_heads": c.num_heads,
+        "intermediate_size": c.intermediate_size,
+        "image_size": c.image_size,
+        "patch_size": c.patch_size,
+        "projection_dim": c.projection_dim,
+        "hidden_act": c.hidden_act,
+        "layer_norm_eps": c.layer_norm_eps,
+    }
+
+
+def _clip_params_to_state_dict(params: Any, kind: str) -> Dict[str, np.ndarray]:
+    """Inverse of clip_state_dict_to_params for export (vision towers)."""
+    prefix = "vision_model." if kind == "vision" else "text_model."
+    flat = convert.params_to_state_dict(params)
+    out: Dict[str, np.ndarray] = {}
+    for key, value in flat.items():
+        if key.startswith("visual_projection"):
+            out[key] = value
+            continue
+        # embeddings live under `<prefix>embeddings.`; layers under `<prefix>encoder.`
+        if key.startswith(("class_embedding", "patch_embedding", "position_embedding", "token_embedding")):
+            k = key.replace(".embedding", ".weight")
+            if key == "class_embedding":
+                k = key
+            out[prefix + "embeddings." + k] = value
+        elif key.startswith("layers."):
+            out[prefix + "encoder." + key] = value
+        else:
+            out[prefix + key] = value
+    return out
+
+
 def save_pipeline_dir(
     path: str,
     unet_config: UNetConfig,
@@ -298,6 +336,8 @@ def save_pipeline_dir(
     scheduler_class: str = "DDIMScheduler",
     pipeline_class: str = "MarigoldPipeline",
     extra_model_index: Optional[Dict[str, Any]] = None,
+    image_encoder_config: Optional[clip_models.CLIPVisionConfig] = None,
+    image_encoder_params: Optional[Any] = None,
 ) -> None:
     """Write an HF-layout pipeline directory (model_index.json + subfolders).
 
@@ -333,3 +373,13 @@ def save_pipeline_dir(
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
         json.dump(scheduler_config_to_hf(scheduler_config, scheduler_class), f, indent=2)
+
+    if image_encoder_config is not None and image_encoder_params is not None:
+        enc_dir = os.path.join(path, "image_encoder")
+        os.makedirs(enc_dir, exist_ok=True)
+        with open(os.path.join(enc_dir, "config.json"), "w") as f:
+            json.dump(vision_config_to_hf(image_encoder_config), f, indent=2)
+        convert.save_state_dict(
+            _clip_params_to_state_dict(image_encoder_params, "vision"),
+            os.path.join(enc_dir, "model.safetensors"),
+        )

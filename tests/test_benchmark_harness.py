@@ -1,0 +1,145 @@
+"""End-to-end benchmark harness tests with tiny random pipelines: inference dump ->
+alignment -> metrics for depth; pooled angular metrics for normals; GeoWizard HF
+directory round-trip including the image encoder."""
+
+import io
+import json
+import os
+import tarfile
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_e2e_ft_tpu.data import depth_eval as DE
+from diffusion_e2e_ft_tpu.data.normal_eval import NormalEvalDataset
+from diffusion_e2e_ft_tpu.evaluation import depth_bench, normal_bench
+from diffusion_e2e_ft_tpu.pipelines import GeoWizardPipeline, MarigoldPipeline, loading
+
+
+def _make_nyu_fixture(tmp_path, n=2):
+    tar_path = str(tmp_path / "nyu.tar")
+    rng = np.random.default_rng(0)
+    with tarfile.open(tar_path, "w") as tar:
+        for i in range(n):
+            rgb = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+            depth_mm = rng.integers(1500, 9000, (480, 640)).astype(np.int32)
+            for name, img in ((f"rgb_{i:05d}.png", Image.fromarray(rgb)),
+                              (f"depth_{i:05d}.png", Image.fromarray(depth_mm, mode="I"))):
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                info = tarfile.TarInfo("./" + name)
+                info.size = buf.getbuffer().nbytes
+                tar.addfile(info, io.BytesIO(buf.getvalue()))
+    list_path = str(tmp_path / "list.txt")
+    with open(list_path, "w") as f:
+        for i in range(n):
+            f.write(f"rgb_{i:05d}.png depth_{i:05d}.png depth_{i:05d}.png\n")
+    return tar_path, list_path
+
+
+class TestDepthBenchEndToEnd:
+    def test_infer_then_eval(self, tmp_path):
+        tar_path, list_path = _make_nyu_fixture(tmp_path)
+        spec = DE.SPECS["nyu_v2"]
+        rgb_ds = DE.DepthEvalDataset(spec, tar_path, list_path, DE.DatasetMode.RGB_ONLY)
+        eval_ds = DE.DepthEvalDataset(spec, tar_path, list_path, DE.DatasetMode.EVAL)
+
+        pipe = MarigoldPipeline.from_random(jax.random.key(0))
+
+        def predict(rgb):
+            return pipe(rgb, processing_res=64, color_map=None).depth_np
+
+        pred_dir = str(tmp_path / "preds")
+        saved = depth_bench.run_inference(
+            rgb_ds, predict, pred_dir, arguments={"seed": 1234}, progress=False
+        )
+        assert len(saved) == 2
+        assert os.path.exists(os.path.join(pred_dir, "arguments.txt"))
+        assert all(os.path.basename(s).startswith("pred_") for s in saved)
+        assert np.load(saved[0]).shape == (480, 640)
+
+        out_dir = str(tmp_path / "eval")
+        results = depth_bench.evaluate_predictions(eval_ds, pred_dir, out_dir)
+        assert set(results) == set(depth_bench.M.DEPTH_METRIC_FUNCS)
+        assert all(np.isfinite(v) for v in results.values())
+        assert os.path.exists(os.path.join(out_dir, "per_sample_metrics.csv"))
+        assert os.path.exists(os.path.join(out_dir, "eval_metrics-least_square.txt"))
+
+    def test_disparity_alignment_path(self, tmp_path):
+        tar_path, list_path = _make_nyu_fixture(tmp_path)
+        spec = DE.SPECS["nyu_v2"]
+        eval_ds = DE.DepthEvalDataset(spec, tar_path, list_path, DE.DatasetMode.EVAL)
+        pred_dir = str(tmp_path / "preds")
+        os.makedirs(pred_dir)
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            np.save(
+                os.path.join(pred_dir, eval_ds.pred_name(i, ".npy")),
+                rng.uniform(0.1, 1.0, (480, 640)).astype(np.float32),
+            )
+        results = depth_bench.evaluate_predictions(
+            eval_ds, pred_dir, None, alignment="least_square_disparity"
+        )
+        assert np.isfinite(results["abs_relative_difference"])
+
+
+class TestNormalBenchEndToEnd:
+    def _make_dsine_fixture(self, tmp_path, name="nyuv2"):
+        root = tmp_path / "data" / "dsine_eval" / name
+        scene = root / "scene0"
+        scene.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+            Image.fromarray(img).save(scene / f"{i:04d}_img.png")
+            n = rng.normal(size=(96, 128, 3))
+            n /= np.linalg.norm(n, axis=-1, keepdims=True)
+            n8 = (((n + 1) / 2) * 255).astype(np.uint8)
+            n8[0, 0] = 0  # one invalid pixel
+            Image.fromarray(n8).save(scene / f"{i:04d}_normal.png")
+            np.save(scene / f"{i:04d}_intrins.npy", np.eye(3))
+        with open(root / "test.txt", "w") as f:
+            for i in range(2):
+                f.write(f"scene0/{i:04d}_img.png\n")
+        return str(tmp_path / "data")
+
+    def test_run_benchmark(self, tmp_path):
+        base = self._make_dsine_fixture(tmp_path)
+        pipe = MarigoldPipeline.from_random(jax.random.key(0))
+
+        def predict(img01, domain):
+            rgb = (img01 * 255).astype(np.uint8)
+            return pipe(rgb, processing_res=0, normals=True, color_map=None).normal_np
+
+        out_dir = str(tmp_path / "out")
+        results = normal_bench.run_benchmark(base, predict, out_dir, datasets=["nyuv2"])
+        m = results["nyuv2"]
+        assert set(m) == {"mean", "median", "rmse", "a1", "a2", "a3", "a4", "a5"}
+        assert 0 <= m["mean"] <= 180
+        assert os.path.exists(os.path.join(out_dir, "nyuv2_metrics.txt"))
+
+
+class TestGeoWizardRoundtrip:
+    def test_save_load_with_image_encoder(self, tmp_path):
+        pipe = GeoWizardPipeline.from_random(jax.random.key(0))
+        path = str(tmp_path / "gw")
+        loading.save_pipeline_dir(
+            path,
+            pipe.unet.config,
+            jax.tree.map(np.asarray, pipe.params["unet"]),
+            pipe.vae.config,
+            jax.tree.map(np.asarray, pipe.params["vae"]),
+            pipe.scheduler_config,
+            pipeline_class="DepthNormalEstimationPipeline",
+            image_encoder_config=pipe.image_encoder.config,
+            image_encoder_params=jax.tree.map(np.asarray, pipe.params["image_encoder"]),
+        )
+        assert os.path.exists(os.path.join(path, "image_encoder", "config.json"))
+        pipe2 = GeoWizardPipeline.from_hf_dir(path)
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        a = pipe(img, processing_res=0, color_map=None)
+        b = pipe2(img, processing_res=0, color_map=None)
+        np.testing.assert_allclose(a.depth_np, b.depth_np, atol=1e-5)
+        np.testing.assert_allclose(a.normal_np, b.normal_np, atol=1e-5)
