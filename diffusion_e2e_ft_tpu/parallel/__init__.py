@@ -13,5 +13,22 @@ from diffusion_e2e_ft_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from diffusion_e2e_ft_tpu.parallel.sharding import (
+    make_train_mesh,
+    param_spec,
+    shard_state,
+    shard_train_batch,
+    state_sharding,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "make_train_mesh",
+    "param_spec",
+    "state_sharding",
+    "shard_state",
+    "shard_train_batch",
+]

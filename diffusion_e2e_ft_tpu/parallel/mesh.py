@@ -44,10 +44,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put every leaf with its batch dim sharded over the mesh."""
+    """Device-put every leaf with its batch dim sharded over the mesh; leaves that
+    are not batch-shaped (1-D vectors, batch not divisible) replicate."""
+    axis_size = mesh.shape.get(axis, mesh.devices.size)
 
     def put(x):
         x = jax.numpy.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
+        if x.ndim >= 2 and x.shape[0] % axis_size == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, batch)
