@@ -1,73 +1,158 @@
-"""Benchmark: single-step depth inference throughput on one TPU chip.
+"""Benchmark on one TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the full jitted device path (VAE encode -> SD2 UNet @ t=999 -> trailing-DDIM
-x0 -> VAE decode -> depth postproc) at 768x768, bf16 compute — the reference's
-headline configuration (121 ms/img on an RTX 4090 => 8.26 img/s,
-`/root/reference/README.md:147-158`).
+Default configuration (the driver's headline): 768x768 single-step depth through the
+full jitted device path (VAE encode -> SD2 UNet @ t=999 -> trailing-DDIM x0 -> VAE
+decode -> depth postproc), bf16 compute — the reference does 121 ms / 576x768 image
+on an RTX 4090 (`/root/reference/README.md:147-158`).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+E2EFT_BENCH=geowizard measures the joint depth+normal pipeline (reference: 254 ms);
+E2EFT_BENCH=train measures E2E fine-tuning step throughput.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
-BASELINE_IMG_PER_S = 1000.0 / 121.0  # RTX 4090 reference: 8.26 img/s
+BASELINE = {
+    "depth": 1000.0 / 121.0,  # img/s, RTX 4090 single-task
+    "geowizard": 1000.0 / 254.0,  # img/s, RTX 4090 joint
+    "train": 1.0,  # no published reference number; vs_baseline reports raw img/s
+}
 
 
-def main():
+def _timeit(fn, iters=10, warmup=3):
+    out = fn()
+    out.block_until_ready()
+    for _ in range(warmup):
+        fn().block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_depth(res=768):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
     from diffusion_e2e_ft_tpu.models import UNetConfig, VAEConfig
     from diffusion_e2e_ft_tpu.ops import scheduler as S
+    from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-
-    res = 768
     pipe = MarigoldPipeline.from_random(
         jax.random.key(0),
-        unet_config=UNetConfig(),  # full SD2, 8ch
-        vae_config=VAEConfig(),  # full SD2 VAE
+        unet_config=UNetConfig(),
+        vae_config=VAEConfig(),
         scheduler_config=S.SchedulerConfig(),
         dtype=dtype,
     )
-
     rgb = jnp.asarray(
         np.random.default_rng(0).uniform(-1, 1, (1, res, res, 3)).astype(np.float32)
     )
     latent0 = jnp.zeros((1, res // 8, res // 8, 4), jnp.float32)
+    dt = _timeit(lambda: pipe._infer_jit(pipe.params, rgb, 1, False, latent0))
+    return {
+        "metric": f"{res}px single-step depth inference, 1 chip ({platform})",
+        "value": round(1.0 / dt, 3),
+        "unit": "img/s",
+        "vs_baseline": round((1.0 / dt) / BASELINE["depth"], 3),
+    }
 
-    run = lambda: pipe._infer_jit(pipe.params, rgb, 1, False, latent0)
 
-    # compile + warmup
-    out = run()
-    out.block_until_ready()
-    for _ in range(3):
-        run().block_until_ready()
+def bench_geowizard(res=768):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    from diffusion_e2e_ft_tpu.models import UNetConfig, VAEConfig
+    from diffusion_e2e_ft_tpu.models.clip import CLIPVisionConfig
+    from diffusion_e2e_ft_tpu.ops import scheduler as S
+    from diffusion_e2e_ft_tpu.pipelines import GeoWizardPipeline
+    from diffusion_e2e_ft_tpu.pipelines.geowizard import domain_one_hot
 
-    img_per_s = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{res}px single-step depth inference, 1 chip ({platform})",
-                "value": round(img_per_s, 3),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
-            }
-        )
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    pipe = GeoWizardPipeline.from_random(
+        jax.random.key(0),
+        unet_config=UNetConfig.geowizard(),
+        vae_config=VAEConfig(),
+        vision_config=CLIPVisionConfig(),  # full CLIP ViT-L/14
+        scheduler_config=S.SchedulerConfig(prediction_type="v_prediction"),
+        dtype=dtype,
     )
+    rgb = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, res, res, 3)).astype(np.float32)
+    )
+    latent0 = jnp.zeros((1, res // 8, res // 8, 4), jnp.float32)
+    dom = jnp.asarray(domain_one_hot("indoor"))
+    dt = _timeit(lambda: pipe._infer_jit(pipe.params, rgb, 1, latent0, dom)[0])
+    return {
+        "metric": f"{res}px single-step joint depth+normals (GeoWizard), 1 chip ({platform})",
+        "value": round(1.0 / dt, 3),
+        "unit": "img/s",
+        "vs_baseline": round((1.0 / dt) / BASELINE["geowizard"], 3),
+    }
+
+
+def bench_train(res=480, width=640, batch=2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_e2e_ft_tpu.models import (
+        AutoencoderKL,
+        UNet2DCondition,
+        UNetConfig,
+        VAEConfig,
+    )
+    from diffusion_e2e_ft_tpu.training import E2ETrainer, TrainConfig
+
+    platform = jax.devices()[0].platform
+    dtype = "bfloat16" if platform == "tpu" else "float32"
+    unet = UNet2DCondition(UNetConfig(dtype=dtype))
+    vae = AutoencoderKL(VAEConfig(dtype=dtype))
+    rng = np.random.default_rng(0)
+    up = jax.jit(unet.init)(
+        jax.random.key(0), jnp.ones((1, 8, 8, 8)), jnp.asarray([999]), jnp.ones((1, 2, 1024))
+    )["params"]
+    vp = jax.jit(vae.init)(jax.random.key(1), jnp.ones((1, 64, 64, 3)))["params"]
+    cfg = TrainConfig(gradient_accumulation_steps=1, gradient_checkpointing=True)
+    trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 1024), np.float32))
+    state = trainer.init_state(up)
+    batch_data = {
+        "rgb": jnp.asarray(rng.uniform(-1, 1, (batch, res, width, 3)).astype(np.float32)),
+        "target": jnp.asarray(rng.uniform(-1, 1, (batch, res, width)).astype(np.float32)),
+        "val_mask": jnp.ones((batch, res, width), bool),
+    }
+
+    state_box = [state]
+    key = jax.random.key(0)
+
+    def step():
+        s, m = trainer.train_step(state_box[0], dict(batch_data), key)
+        state_box[0] = s
+        return m["loss"]
+
+    dt = _timeit(step, iters=5, warmup=2)
+    return {
+        "metric": f"E2E fine-tune step {res}x{width} bs={batch}, 1 chip ({platform})",
+        "value": round(batch / dt, 3),
+        "unit": "img/s",
+        "vs_baseline": round(batch / dt, 3),
+    }
+
+
+def main():
+    which = os.environ.get("E2EFT_BENCH", "depth")
+    fn = {"depth": bench_depth, "geowizard": bench_geowizard, "train": bench_train}[which]
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ from flax import linen as nn
 
 Array = jax.Array
 
+from diffusion_e2e_ft_tpu.models.layers import NORM_DTYPE  # noqa: E402
+
 BOS_TOKEN_ID = 49406
 EOS_TOKEN_ID = 49407
 
@@ -119,9 +121,9 @@ class _CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="layer_norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=NORM_DTYPE, name="layer_norm1")(x).astype(self.dtype)
         x = x + _CLIPAttention(self.num_heads, self.causal, self.dtype, name="self_attn")(h)
-        h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="layer_norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=NORM_DTYPE, name="layer_norm2")(x).astype(self.dtype)
         return x + _CLIPMLP(
             self.intermediate_size, x.shape[-1], self.hidden_act, self.dtype, name="mlp"
         )(h)
@@ -147,7 +149,7 @@ class CLIPTextModel(nn.Module):
                 c.num_heads, c.intermediate_size, c.hidden_act, causal=True,
                 eps=c.layer_norm_eps, dtype=dt, name=f"layers_{i}",
             )(x)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm")(x)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=NORM_DTYPE, name="final_layer_norm")(x)
 
 
 class CLIPVisionModelWithProjection(nn.Module):
@@ -179,13 +181,13 @@ class CLIPVisionModelWithProjection(nn.Module):
             jnp.arange(n_pos)[None, :]
         )
         x = x + pos
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="pre_layrnorm")(x).astype(dt)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=NORM_DTYPE, name="pre_layrnorm")(x).astype(dt)
         for i in range(c.num_layers):
             x = _CLIPLayer(
                 c.num_heads, c.intermediate_size, c.hidden_act, causal=False,
                 eps=c.layer_norm_eps, dtype=dt, name=f"layers_{i}",
             )(x)
-        pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="post_layernorm")(
+        pooled = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=NORM_DTYPE, name="post_layernorm")(
             x[:, 0]
         ).astype(dt)
         return nn.Dense(c.projection_dim, use_bias=False, dtype=dt, name="visual_projection")(pooled)

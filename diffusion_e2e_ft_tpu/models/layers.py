@@ -18,6 +18,10 @@ from diffusion_e2e_ft_tpu import kernels
 
 Array = jax.Array
 
+# Normalization layers run in fp32 islands by default (the precision-critical spots
+# for checkpoint parity); perf experiments may set this to jnp.bfloat16.
+NORM_DTYPE = jnp.float32
+
 
 def timestep_embedding(
     timesteps: Array,
@@ -77,7 +81,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
@@ -85,7 +89,7 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -194,16 +198,16 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=NORM_DTYPE, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, joint=self.joint_attention,
             dtype=self.dtype, name="attn1",
         )(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=NORM_DTYPE, name="norm2")(x).astype(self.dtype)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, dtype=self.dtype, name="attn2"
         )(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=NORM_DTYPE, name="norm3")(x).astype(self.dtype)
         return x + FeedForward(self.num_heads * self.head_dim, dtype=self.dtype, name="ff")(h)
 
 
@@ -226,7 +230,7 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         residual = x
         inner = self.num_heads * self.head_dim
-        hidden = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        hidden = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=NORM_DTYPE, name="norm")(x)
         hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
         if self.use_linear_projection:
             hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
@@ -260,7 +264,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        hidden = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        hidden = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="group_norm")(x)
         hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)

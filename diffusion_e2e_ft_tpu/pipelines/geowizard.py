@@ -85,12 +85,24 @@ class GeoWizardPipeline:
         scheduler_config: sched_ops.SchedulerConfig,
         dtype=jnp.float32,
     ):
+        self.dtype = jnp.dtype(dtype)
+        dtype_name = self.dtype.name
+        # propagate compute dtype into module configs (see MarigoldPipeline)
+        import dataclasses as _dc
+
+        if unet.config.dtype != dtype_name:
+            unet = type(unet)(unet.config.replace(dtype=dtype_name))
+        if vae.config.dtype != dtype_name:
+            vae = type(vae)(_dc.replace(vae.config, dtype=dtype_name))
+        if image_encoder.config.dtype != dtype_name:
+            image_encoder = type(image_encoder)(
+                _dc.replace(image_encoder.config, dtype=dtype_name)
+            )
         self.unet = unet
         self.vae = vae
         self.image_encoder = image_encoder
         self.scheduler_config = scheduler_config
         self.schedule = sched_ops.make_schedule(scheduler_config)
-        self.dtype = jnp.dtype(dtype)
         cast = lambda t: jax.tree.map(lambda x: jnp.asarray(x, self.dtype), t)
         self.params = {
             "unet": cast(unet_params),

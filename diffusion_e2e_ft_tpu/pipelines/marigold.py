@@ -66,11 +66,20 @@ class MarigoldPipeline:
         empty_text_embed: np.ndarray,  # [1, L, cross_attention_dim]
         dtype=jnp.float32,
     ):
+        self.dtype = jnp.dtype(dtype)
+        # propagate the compute dtype into the module configs: params in bf16 with
+        # fp32 module dtype would silently run fp32 matmuls (8x slower on the MXU)
+        dtype_name = self.dtype.name
+        if unet.config.dtype != dtype_name:
+            unet = type(unet)(unet.config.replace(dtype=dtype_name))
+        if vae.config.dtype != dtype_name:
+            import dataclasses as _dc
+
+            vae = type(vae)(_dc.replace(vae.config, dtype=dtype_name))
         self.unet = unet
         self.vae = vae
         self.scheduler_config = scheduler_config
         self.schedule = sched_ops.make_schedule(scheduler_config)
-        self.dtype = jnp.dtype(dtype)
         self.params = {
             "unet": jax.tree.map(lambda x: jnp.asarray(x, self.dtype), unet_params),
             "vae": jax.tree.map(lambda x: jnp.asarray(x, self.dtype), vae_params),

@@ -81,8 +81,23 @@ class TestNumerics:
 
 
 class TestEnvelope:
-    def test_rejects_big_head_dim(self):
-        q, k, v = _mk(1, 256, 1, 256)
+    def test_vae_shape_single_512_head(self):
+        """The VAE mid-block shape: one 512-dim head (grid-over-KV keeps it in
+        VMEM block by block)."""
+        q, k, v = _mk(1, 256, 1, 512)
+        out = fa.flash_attention(q, k, v)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_long_joint_kv(self):
+        """GeoWizard joint KV at the top level: Lk no longer needs VMEM residency."""
+        q, k, v = _mk(1, 256, 1, 64, lk=1536)
+        out = fa.flash_attention(q, k, v)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_rejects_huge_head_dim(self):
+        q, k, v = _mk(1, 256, 1, 1024)
         with pytest.raises(ValueError):
             fa.flash_attention(q, k, v)
 
@@ -95,13 +110,6 @@ class TestEnvelope:
         q, k, v = _mk(1, 256, 1, 64, lk=300)
         with pytest.raises(ValueError):
             fa.flash_attention(q, k, v)
-
-    def test_rejects_oversized_kv(self):
-        # 2 * 18432 * 128 * 4 bytes > budget
-        q = jnp.zeros((1, 256, 1, 64))
-        k = jnp.zeros((1, 18432, 1, 64))
-        with pytest.raises(ValueError):
-            fa.flash_attention(q, k, k)
 
     def test_dispatcher_falls_back(self):
         """attention() must transparently fall back to XLA outside the envelope."""
