@@ -31,6 +31,8 @@ GEOWIZARD_DOMAINS = {
 
 # normal GT storage format per benchmark
 _EXR_DATASETS = {"ibims", "sintel"}
+# vkitti stores 16-bit normal pngs (the D2NT output format); others are 8-bit
+_PNG16_DATASETS = {"vkitti"}
 
 
 @dataclasses.dataclass
@@ -91,7 +93,8 @@ class NormalEvalDataset:
                     cv2.imread(normal_path, cv2.IMREAD_UNCHANGED), cv2.COLOR_BGR2RGB
                 )
                 mask = np.sum(raw, axis=2) > 0
-                normal = raw.astype(np.float32) / 255.0 * 2.0 - 1.0
+                denom = 65535.0 if self.name in _PNG16_DATASETS else 255.0
+                normal = raw.astype(np.float32) / denom * 2.0 - 1.0
 
         intrins = None
         if self.load_intrins:

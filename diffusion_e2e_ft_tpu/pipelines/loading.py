@@ -247,15 +247,18 @@ def load_marigold_pipeline(path: str, dtype=jnp.float32):
 
     unet, unet_params, _ = load_unet(os.path.join(path, "unet"))
     vae, vae_params, _ = load_vae(os.path.join(path, "vae"))
-    sched_cfg = scheduler_config_from_hf(
-        _read_json(os.path.join(path, "scheduler", "scheduler_config.json"))
-    )
+    sched_json = _read_json(os.path.join(path, "scheduler", "scheduler_config.json"))
+    sched_cfg = scheduler_config_from_hf(sched_json)
+    scheduler_type = "ddpm" if "DDPM" in sched_json.get("_class_name", "") else "ddim"
     te_dir = os.path.join(path, "text_encoder")
     if os.path.isdir(te_dir):
         empty = compute_empty_text_embed(te_dir)
     else:
         empty = np.zeros((1, 2, unet.config.cross_attention_dim), np.float32)
-    return MarigoldPipeline(unet, vae, unet_params, vae_params, sched_cfg, empty, dtype=dtype)
+    return MarigoldPipeline(
+        unet, vae, unet_params, vae_params, sched_cfg, empty, dtype=dtype,
+        scheduler_type=scheduler_type,
+    )
 
 
 def load_geowizard_pipeline(path: str, dtype=jnp.float32):

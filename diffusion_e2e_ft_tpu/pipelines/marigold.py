@@ -65,7 +65,9 @@ class MarigoldPipeline:
         scheduler_config: sched_ops.SchedulerConfig,
         empty_text_embed: np.ndarray,  # [1, L, cross_attention_dim]
         dtype=jnp.float32,
+        scheduler_type: str = "ddim",  # ddim | ddpm (identical for 1-step x0 output)
     ):
+        self.scheduler_type = scheduler_type
         self.dtype = jnp.dtype(dtype)
         # propagate the compute dtype into the module configs: params in bf16 with
         # fp32 module dtype would silently run fp32 matmuls (8x slower on the MXU)
@@ -130,13 +132,21 @@ class MarigoldPipeline:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _infer_jit(self, params, rgb: Array, num_steps: int, normals: bool, latent0: Array) -> Array:
+    def _infer_jit(
+        self, params, rgb: Array, num_steps: int, normals: bool, latent0: Array,
+        key: Optional[jax.Array] = None,
+    ) -> Array:
         """rgb [B,H,W,3] in [-1,1]; latent0 [B,h,w,4] -> depth [B,H,W] in [0,1] or
-        normals [B,H,W,3] unit-norm."""
+        normals [B,H,W,3] unit-norm. `key` drives DDPM ancestral noise (multi-step
+        ddpm only; single-step output is the x0 estimate either way)."""
         cfg = self.scheduler_config
         plan = sched_ops.make_plan(cfg, num_steps)
         ts = jnp.asarray(plan.timesteps)
         pts = jnp.asarray(plan.prev_timesteps)
+        use_ddpm = self.scheduler_type == "ddpm" and num_steps > 1
+        step_keys = jax.random.split(
+            key if key is not None else jax.random.key(0), num_steps
+        )
 
         rgb_latent = (
             self.vae.apply({"params": params["vae"]}, rgb.astype(self.dtype), method=self.vae.encode_mean)
@@ -148,14 +158,21 @@ class MarigoldPipeline:
             (b,) + params["empty_text_embed"].shape[1:],
         )
 
-        def step(latent, t_pt):
-            t, pt = t_pt
+        def step(latent, scan_in):
+            t, pt, k = scan_in
             unet_in = jnp.concatenate([rgb_latent, latent], axis=-1)
             model_out = self.unet.apply({"params": params["unet"]}, unet_in, t, context)
-            out = sched_ops.ddim_step(cfg, self.schedule, model_out.astype(jnp.float32), t, pt, latent)
+            if use_ddpm:
+                out = sched_ops.ddpm_step(
+                    cfg, self.schedule, model_out.astype(jnp.float32), t, pt, latent, key=k
+                )
+            else:
+                out = sched_ops.ddim_step(
+                    cfg, self.schedule, model_out.astype(jnp.float32), t, pt, latent
+                )
             return out.prev_sample.astype(latent.dtype), out.pred_original_sample
 
-        (_, x0s) = jax.lax.scan(step, latent0.astype(self.dtype), (ts, pts))
+        (_, x0s) = jax.lax.scan(step, latent0.astype(self.dtype), (ts, pts, step_keys))
         final_latent = x0s[-1]
 
         decoded = self.vae.apply(
@@ -218,7 +235,10 @@ class MarigoldPipeline:
                 [noise_ops.make_noise(noise, k, latent_shape, jnp.float32) for k in keys], axis=0
             )
             batch_rgb = jnp.broadcast_to(rgb_norm, (n,) + rgb_norm.shape[1:])
-            out = self._infer_jit(self.params, batch_rgb, denoising_steps, normals, latents)
+            out = self._infer_jit(
+                self.params, batch_rgb, denoising_steps, normals, latents,
+                jax.random.fold_in(key, start),
+            )
             preds.append(np.asarray(out))
         preds = np.concatenate(preds, axis=0)  # [E, H, W(, 3)]
 

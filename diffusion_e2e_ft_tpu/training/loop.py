@@ -23,6 +23,13 @@ from diffusion_e2e_ft_tpu.utils.logging import ScalarLogger, write_arguments
 from diffusion_e2e_ft_tpu.utils.profiling import StepTimer
 
 
+def jnp_sum(xs):
+    total = xs[0]
+    for x in xs[1:]:
+        total = total + x
+    return total
+
+
 def run_training(
     trainer: E2ETrainer,
     state: TrainState,
@@ -54,27 +61,32 @@ def run_training(
     key = jax.random.key(config.seed)
     timer = StepTimer()
     accum = config.gradient_accumulation_steps
-    window_loss = 0.0
+    # host-side step accounting: fetching state.step every micro-batch would force a
+    # device sync per step and serialize the pipeline
+    step = int(jax.device_get(state.step))
+    micro = int(jax.device_get(state.micro_step))
+    window_losses = []  # device scalars; materialized only when logging
 
     epoch = 0
-    while int(jax.device_get(state.step)) < config.max_train_steps:
+    while step < config.max_train_steps:
         for batch in make_epoch_iter(epoch):
             key, step_key = jax.random.split(key)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, metrics = trainer.train_step(state, batch, step_key)
             timer.tick()
-            window_loss += float(metrics["loss"]) / accum
+            window_losses.append(metrics["loss"])
 
-            step = int(jax.device_get(state.step))
-            micro = int(jax.device_get(state.micro_step))
+            micro += 1
             synced = micro % accum == 0
             if synced:
+                step += 1
                 if step % log_every == 0:
+                    window = float(jnp_sum(window_losses)) / accum
                     logger.log(
                         step,
                         {
-                            "train_loss": window_loss,
+                            "train_loss": window,
                             "grad_norm": float(metrics["grad_norm"]),
                             "step_time_s": timer.mean_step_time,
                             "img_per_sec": timer.items_per_sec(
@@ -87,7 +99,7 @@ def run_training(
                             },
                         },
                     )
-                window_loss = 0.0
+                window_losses = []
                 if step > 0 and step % config.checkpointing_steps == 0:
                     path = ckpt.save_checkpoint(
                         out_dir, step, jax.device_get(state), config.checkpoints_total_limit

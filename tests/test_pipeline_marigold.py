@@ -87,6 +87,32 @@ class TestNormals:
         assert np.isfinite(out.normal_np).all()
 
 
+class TestSchedulerTypes:
+    def test_ddpm_multi_step(self):
+        """DDPM ancestral sampling path: finite, seed-reproducible, differs from DDIM."""
+        import jax as _jax
+
+        pipe_ddim = MarigoldPipeline.from_random(_jax.random.key(0))
+        pipe_ddpm = MarigoldPipeline.from_random(_jax.random.key(0))
+        pipe_ddpm.scheduler_type = "ddpm"
+        img = _img()
+        a = pipe_ddpm(img, processing_res=64, denoising_steps=3, noise="gaussian", seed=5, color_map=None)
+        b = pipe_ddpm(img, processing_res=64, denoising_steps=3, noise="gaussian", seed=5, color_map=None)
+        np.testing.assert_array_equal(a.depth_np, b.depth_np)
+        c = pipe_ddim(img, processing_res=64, denoising_steps=3, noise="gaussian", seed=5, color_map=None)
+        assert not np.array_equal(a.depth_np, c.depth_np)
+        assert np.isfinite(a.depth_np).all()
+
+    def test_single_step_identical_across_types(self):
+        """1-step output is the x0 estimate: DDIM == DDPM."""
+        pipe = MarigoldPipeline.from_random(jax.random.key(0))
+        img = _img()
+        a = pipe(img, processing_res=64, color_map=None)
+        pipe.scheduler_type = "ddpm"
+        b = pipe(img, processing_res=64, color_map=None)
+        np.testing.assert_allclose(a.depth_np, b.depth_np, atol=1e-6)
+
+
 def test_find_batch_size():
     assert MarigoldPipeline.find_batch_size(1, 768) == 1
     assert MarigoldPipeline.find_batch_size(10, 768) == 4
