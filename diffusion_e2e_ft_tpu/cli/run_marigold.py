@@ -41,6 +41,7 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--resample_method", choices=["bilinear", "bicubic", "nearest"], default="bilinear")
     p.add_argument("--color_map", default="Spectral")
+    p.add_argument("--profile_dir", default=None, help="capture a jax.profiler trace here")
     return p
 
 
@@ -77,6 +78,13 @@ def main(argv=None):
         raise SystemExit(f"no images found in {args.input_rgb_dir}")
     print(f"[run] {len(images)} images", flush=True)
 
+    profile_ctx = None
+    if args.profile_dir:
+        from diffusion_e2e_ft_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile_dir)
+        profile_ctx.__enter__()
+
     for path in images:
         rgb = load_image_rgb(path)
         out = pipe(
@@ -104,6 +112,10 @@ def main(argv=None):
 
             Image.fromarray(bw).save(os.path.join(sub["depth_bw"], f"{stem}_bw.png"))
         print(f"[run] {stem} done", flush=True)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"[run] profiler trace written to {args.profile_dir}", flush=True)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,16 @@ class GeoWizardPipeline:
             "vae": cast(vae_params),
             "image_encoder": cast(image_encoder_params),
         }
+        self._mesh = None
+
+    def with_mesh(self, mesh) -> "GeoWizardPipeline":
+        """Multi-chip ensemble parallelism (see MarigoldPipeline.with_mesh). The
+        task-pair axis stays inside each shard: sharding is over ensemble members."""
+        from diffusion_e2e_ft_tpu.parallel import replicated
+
+        self._mesh = mesh
+        self.params = jax.device_put(self.params, replicated(mesh))
+        return self
 
     @classmethod
     def from_hf_dir(cls, path: str, dtype=jnp.float32) -> "GeoWizardPipeline":
@@ -247,6 +257,11 @@ class GeoWizardPipeline:
                 axis=0,
             )
             batch_rgb = jnp.broadcast_to(rgb_norm, (nb,) + rgb_norm.shape[1:])
+            if self._mesh is not None:
+                from diffusion_e2e_ft_tpu.parallel import shard_batch
+
+                batch_rgb = shard_batch(batch_rgb, self._mesh)
+                lat = shard_batch(lat, self._mesh)
             d, nrm = self._infer_jit(self.params, batch_rgb, denoising_steps, lat, dom)
             depths.append(np.asarray(d))
             normals.append(np.asarray(nrm))

@@ -87,6 +87,24 @@ class MarigoldPipeline:
             "vae": jax.tree.map(lambda x: jnp.asarray(x, self.dtype), vae_params),
             "empty_text_embed": jnp.asarray(empty_text_embed, self.dtype),
         }
+        self._mesh = None
+
+    def with_mesh(self, mesh) -> "MarigoldPipeline":
+        """Enable multi-chip ensemble/batch parallelism: params replicate over the
+        mesh, ensemble members shard over its 'data' axis (GSPMD handles the rest).
+        Batch sizes should be multiples of the data-axis size."""
+        from diffusion_e2e_ft_tpu.parallel import replicated
+
+        self._mesh = mesh
+        self.params = jax.device_put(self.params, replicated(mesh))
+        return self
+
+    def _place_batch(self, *arrays):
+        if self._mesh is None:
+            return arrays
+        from diffusion_e2e_ft_tpu.parallel import shard_batch
+
+        return tuple(shard_batch(a, self._mesh) for a in arrays)
 
     # ------------------------------------------------------------------
     # Constructors
@@ -235,6 +253,7 @@ class MarigoldPipeline:
                 [noise_ops.make_noise(noise, k, latent_shape, jnp.float32) for k in keys], axis=0
             )
             batch_rgb = jnp.broadcast_to(rgb_norm, (n,) + rgb_norm.shape[1:])
+            batch_rgb, latents = self._place_batch(batch_rgb, latents)
             out = self._infer_jit(
                 self.params, batch_rgb, denoising_steps, normals, latents,
                 jax.random.fold_in(key, start),

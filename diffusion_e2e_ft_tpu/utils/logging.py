@@ -16,11 +16,13 @@ class ScalarLogger:
     """Append scalars to <dir>/metrics.jsonl and (if tensorboard is importable) to
     TB event files under <dir>/tb."""
 
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(self, log_dir: str, use_tensorboard: bool = True, use_wandb: bool = False,
+                 wandb_project: Optional[str] = None):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
+        self._wandb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -28,6 +30,14 @@ class ScalarLogger:
                 self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
             except Exception:
                 self._tb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project or "diffusion-e2e-ft-tpu", dir=log_dir)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, scalars: Mapping[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -37,11 +47,15 @@ class ScalarLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log(dict(scalars), step=int(step))
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def write_arguments(path_dir: str, arguments: Mapping, filename: str = "arguments.txt") -> None:

@@ -18,3 +18,15 @@ if not os.environ.get("E2EFT_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler has segfaulted when dozens of large grad-graph
+    executables accumulate in one process (observed at test_train_step's second
+    train-step compile during full-suite runs). Dropping compiled executables
+    between test modules keeps compiler arena pressure bounded."""
+    yield
+    jax.clear_caches()

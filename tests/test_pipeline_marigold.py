@@ -87,6 +87,26 @@ class TestNormals:
         assert np.isfinite(out.normal_np).all()
 
 
+class TestMeshInference:
+    def test_ensemble_sharded_over_mesh_matches_single_device(self):
+        """Multi-chip ensemble parallelism: same outputs as the unsharded pipeline."""
+        from diffusion_e2e_ft_tpu.parallel import make_mesh
+
+        img = _img()
+        ref_pipe = MarigoldPipeline.from_random(jax.random.key(0))
+        a = ref_pipe(
+            img, processing_res=64, ensemble_size=8, noise="gaussian", seed=3,
+            batch_size=8, color_map=None,
+        )
+        mesh_pipe = MarigoldPipeline.from_random(jax.random.key(0)).with_mesh(make_mesh())
+        b = mesh_pipe(
+            img, processing_res=64, ensemble_size=8, noise="gaussian", seed=3,
+            batch_size=8, color_map=None,
+        )
+        # sharded execution reorders fp32 reductions; tolerance covers that noise
+        np.testing.assert_allclose(a.depth_np, b.depth_np, atol=3e-4)
+
+
 class TestSchedulerTypes:
     def test_ddpm_multi_step(self):
         """DDPM ancestral sampling path: finite, seed-reproducible, differs from DDIM."""
