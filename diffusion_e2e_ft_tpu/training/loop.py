@@ -83,11 +83,25 @@ def run_training(
                 step += 1
                 if step % log_every == 0:
                     window = float(jnp_sum(window_losses)) / accum
+                    grad_norm = float(metrics["grad_norm"])
+                    # failure detection (absent in the reference): the loss itself is
+                    # NaN-guarded, so divergence shows up in the raw gradient norm —
+                    # dump an emergency checkpoint and abort resumably
+                    if not (np.isfinite(window) and np.isfinite(grad_norm)):
+                        path = ckpt.save_checkpoint(
+                            out_dir, step, jax.device_get(state),
+                            config.checkpoints_total_limit,
+                        )
+                        logger.close()
+                        raise FloatingPointError(
+                            f"non-finite loss/grad at step {step} "
+                            f"(loss={window}, grad_norm={grad_norm}); state saved to {path}"
+                        )
                     logger.log(
                         step,
                         {
                             "train_loss": window,
-                            "grad_norm": float(metrics["grad_norm"]),
+                            "grad_norm": grad_norm,
                             "step_time_s": timer.mean_step_time,
                             "img_per_sec": timer.items_per_sec(
                                 batch["rgb"].shape[0]

@@ -92,6 +92,15 @@ class TestRunTraining:
         o = pipe(img, processing_res=0, color_map=None)
         assert np.isfinite(o.depth_np).all()
 
+    def test_failure_detection_aborts_with_emergency_checkpoint(self, tmp_path):
+        trainer, up, *_ = _setup(tmp_path, max_steps=3)
+        # poison the params so the first step produces non-finite gradients
+        up = jax.tree.map(lambda x: x * jnp.nan, up)
+        state = trainer.init_state(up)
+        with pytest.raises(FloatingPointError):
+            run_training(trainer, state, _epoch_iter_factory(), log_every=1)
+        assert C.list_checkpoints(trainer.config.output_dir)  # emergency save exists
+
     def test_resume_continues_from_checkpoint(self, tmp_path):
         trainer, up, *_ = _setup(tmp_path, max_steps=2)
         state = trainer.init_state(up)
