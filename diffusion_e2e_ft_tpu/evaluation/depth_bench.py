@@ -9,7 +9,6 @@ range, the 10-metric set, per-sample CSV + tabulated summary txt)
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable, Dict, List, Optional
 

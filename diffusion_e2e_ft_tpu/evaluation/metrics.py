@@ -12,7 +12,7 @@ valid mask, and return a python float.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

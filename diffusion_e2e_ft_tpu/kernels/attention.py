@@ -12,7 +12,6 @@ and our Pallas kernel both consume without transposes.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -18,7 +18,7 @@ embedding tables are mapped without transposition).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

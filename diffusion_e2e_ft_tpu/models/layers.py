@@ -8,7 +8,7 @@ generic rule instead of a hand-written table per layer.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ GroupNorm(32, eps=1e-6), latent_channels 4, scaling_factor 0.18215.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

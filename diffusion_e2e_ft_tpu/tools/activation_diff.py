@@ -14,10 +14,8 @@ use the HF module path dialect; `canonicalize_path` maps both sides onto one key
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import re
 import tarfile
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 # per-dataset (rgb_pattern, rgb->depth substitution[, rgb->mask substitution])
 PAIRING = {

@@ -10,14 +10,13 @@ window) — re-expressed around the jitted micro-step.
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import numpy as np
 
 from diffusion_e2e_ft_tpu.parallel import shard_batch
 from diffusion_e2e_ft_tpu.training import checkpoints as ckpt
-from diffusion_e2e_ft_tpu.training.config import TrainConfig
 from diffusion_e2e_ft_tpu.training.trainer import E2ETrainer, TrainState
 from diffusion_e2e_ft_tpu.utils.logging import ScalarLogger, write_arguments
 from diffusion_e2e_ft_tpu.utils.profiling import StepTimer

@@ -22,7 +22,6 @@ jit-compatible.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -35,7 +34,7 @@ from diffusion_e2e_ft_tpu.models import AutoencoderKL, UNet2DCondition
 from diffusion_e2e_ft_tpu.ops import losses as L
 from diffusion_e2e_ft_tpu.ops import noise as noise_ops
 from diffusion_e2e_ft_tpu.ops import scheduler as sched_ops
-from diffusion_e2e_ft_tpu.parallel import batch_sharding, replicated, shard_batch
+from diffusion_e2e_ft_tpu.parallel import replicated, shard_batch
 from diffusion_e2e_ft_tpu.training.config import TrainConfig
 from diffusion_e2e_ft_tpu.training.lr import iter_exponential_schedule
 
