@@ -69,6 +69,28 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class GroupNormAct(nn.Module):
+    """GroupNorm with optional fused SiLU; parameter tree identical to nn.GroupNorm
+    (scale/bias leaves), compute dispatched to the fused Pallas kernel on TPU
+    (kernels/groupnorm.py) with fp32 statistics either way."""
+
+    groups: int
+    eps: float = 1e-5
+    silu: bool = True
+    dtype: jnp.dtype = jnp.float32  # output dtype
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from diffusion_e2e_ft_tpu.kernels.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu).astype(
+            self.dtype
+        )
+
+
 class ResnetBlock(nn.Module):
     """GN -> SiLU -> conv3x3 (+ time-emb shift) -> GN -> SiLU -> conv3x3, residual."""
 
@@ -81,16 +103,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormAct(self.groups, eps=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormAct(self.groups, eps=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(
@@ -230,8 +250,8 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         residual = x
         inner = self.num_heads * self.head_dim
-        hidden = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=NORM_DTYPE, name="norm")(x)
-        hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
+        hidden = GroupNormAct(self.groups, eps=1e-6, silu=False, dtype=self.dtype, name="norm")(x)
+        hidden = hidden.reshape(b, h * w, c)
         if self.use_linear_projection:
             hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
         else:
@@ -264,8 +284,8 @@ class VAEAttention(nn.Module):
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        hidden = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=NORM_DTYPE, name="group_norm")(x)
-        hidden = hidden.astype(self.dtype).reshape(b, h * w, c)
+        hidden = GroupNormAct(self.groups, eps=self.eps, silu=False, dtype=self.dtype, name="group_norm")(x)
+        hidden = hidden.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(hidden)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(hidden)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(hidden)

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from diffusion_e2e_ft_tpu.models.layers import (
-    NORM_DTYPE,
     Downsample,
+    GroupNormAct,
     ResnetBlock,
     SpatialTransformer,
     TimestepEmbedding,
@@ -246,6 +246,5 @@ class UNet2DCondition(nn.Module):
             up_hw = skips[-1].shape[1:3] if skips else None
             x = _UpBlock(c, i, name=f"up_blocks_{i}")(x, block_skips, temb, context, up_hw)
 
-        x = nn.GroupNorm(c.norm_num_groups, epsilon=c.norm_eps, dtype=NORM_DTYPE, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(dt)
+        x = GroupNormAct(c.norm_num_groups, eps=c.norm_eps, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diffusion_e2e_ft_tpu.models.layers import NORM_DTYPE, Downsample, ResnetBlock, Upsample, VAEAttention
+from diffusion_e2e_ft_tpu.models.layers import Downsample, GroupNormAct, ResnetBlock, Upsample, VAEAttention
 
 Array = jax.Array
 
@@ -91,8 +91,7 @@ class Encoder(nn.Module):
                 groups=c.norm_num_groups, dtype=dt, name=f"down_blocks_{i}",
             )(x)
         x = _Mid(c.block_out_channels[-1], groups=c.norm_num_groups, dtype=dt, name="mid_block")(x)
-        x = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=NORM_DTYPE, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(dt)
+        x = GroupNormAct(c.norm_num_groups, eps=1e-6, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
 
 
@@ -131,8 +130,7 @@ class Decoder(nn.Module):
                 add_upsample=(i < len(up_channels) - 1),
                 groups=c.norm_num_groups, dtype=dt, name=f"up_blocks_{i}",
             )(x)
-        x = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=NORM_DTYPE, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(dt)
+        x = GroupNormAct(c.norm_num_groups, eps=1e-6, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
 
 

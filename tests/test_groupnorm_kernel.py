@@ -1,0 +1,94 @@
+"""Fused GroupNorm+SiLU kernel numerics (Pallas interpreter) vs XLA and torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from diffusion_e2e_ft_tpu.kernels import groupnorm as GN
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    GN.INTERPRET = True
+    yield
+    GN.INTERPRET = False
+
+
+def _torch_ref(x_bnc, scale, bias, groups, eps, silu):
+    t = torch.from_numpy(np.transpose(x_bnc, (0, 2, 1)))  # [B, C, N]
+    gn = torch.nn.GroupNorm(groups, x_bnc.shape[-1], eps=eps)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+        out = gn(t)
+        if silu:
+            out = torch.nn.functional.silu(out)
+    return np.transpose(out.numpy(), (0, 2, 1))
+
+
+@pytest.mark.parametrize("silu", [True, False])
+def test_matches_torch(silu):
+    rng = np.random.default_rng(0)
+    b, n, c, g = 2, 300, 128, 32
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+    scale = rng.normal(size=(c,)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    out = GN._pallas_group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), g, 1e-5, silu)
+    ref = _torch_ref(x, scale, bias, g, 1e-5, silu)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_row_padding_mask():
+    """n not divisible by the row block: padded rows must not pollute the stats."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 1500, 128)).astype(np.float32)  # pads to 2048
+    scale = np.ones(128, np.float32)
+    bias = np.zeros(128, np.float32)
+    out = GN._pallas_group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 32, 1e-6, True)
+    ref = GN._xla_group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 32, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_bf16_io():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 256, 128)).astype(np.float32)
+    scale = rng.normal(size=(128,)).astype(np.float32)
+    bias = rng.normal(size=(128,)).astype(np.float32)
+    out = GN._pallas_group_norm(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(scale), jnp.asarray(bias), 32, 1e-5, True
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = GN._xla_group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 32, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+
+    def f_pallas(x, s, b):
+        return jnp.sum(GN._fused(x, s, b, 32, 1e-5, True) ** 2)
+
+    def f_xla(x, s, b):
+        return jnp.sum(GN._xla_group_norm(x, s, b, 32, 1e-5, True) ** 2)
+
+    g = jax.grad(f_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(f_xla, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3)
+
+
+def test_dispatcher_4d_and_fallback():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 64)).astype(np.float32))  # c=64 not /128
+    scale = jnp.ones(64)
+    bias = jnp.zeros(64)
+    out = GN.group_norm_silu(x, scale, bias, groups=32, eps=1e-5)
+    ref = GN._xla_group_norm(x.reshape(1, 256, 64), scale, bias, 32, 1e-5, True).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

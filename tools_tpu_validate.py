@@ -1,0 +1,53 @@
+"""On-TPU numerical validation of the Pallas kernels against their XLA references.
+
+Run on the real chip (ambient axon env): `python tools_tpu_validate.py`.
+The interpret-mode tests prove the kernel math; this proves the Mosaic lowering.
+"""
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_e2e_ft_tpu.kernels import attention as attn_mod
+    from diffusion_e2e_ft_tpu.kernels import flash_attention as fa
+    from diffusion_e2e_ft_tpu.kernels import groupnorm as gn
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    # ---- flash attention, SD2 UNet shapes -------------------------------
+    for (b, l, n, d, lk) in [(1, 9216, 5, 64, 9216), (1, 2304, 10, 64, 2304),
+                             (2, 576, 20, 64, 1152), (1, 9216, 1, 512, 9216)]:
+        q = jnp.asarray(rng.normal(size=(b, l, n, d)).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, lk, n, d)).astype(np.float32), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, lk, n, d)).astype(np.float32), jnp.bfloat16)
+        out = jax.jit(lambda q, k, v: fa.flash_attention(q, k, v))(q, k, v)
+        ref = jax.jit(lambda q, k, v: attn_mod._xla_attention(q, k, v, None))(q, k, v)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        ok = err < 0.05
+        failures += 0 if ok else 1
+        print(f"flash ({b},{l},{n},{d})xKV{lk}: max_err={err:.4f} {'OK' if ok else 'FAIL'}", flush=True)
+
+    # ---- fused GroupNorm+SiLU, VAE/UNet shapes --------------------------
+    for (b, n, c, g, silu) in [(1, 9216, 512, 32, False), (1, 589824, 128, 32, True),
+                               (1, 9216, 1280, 32, True), (2, 36864, 512, 32, True)]:
+        x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        out = jax.jit(lambda x: gn._pallas_group_norm(x, scale, bias, g, 1e-6, silu))(x)
+        ref = jax.jit(lambda x: gn._xla_group_norm(x, scale, bias, g, 1e-6, silu))(x)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        ok = err < 0.05
+        failures += 0 if ok else 1
+        print(f"gn ({b},{n},{c},g{g},silu={silu}): max_err={err:.4f} {'OK' if ok else 'FAIL'}", flush=True)
+
+    print("FAILURES:", failures, flush=True)
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
