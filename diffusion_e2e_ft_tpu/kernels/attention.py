@@ -12,6 +12,7 @@ and our Pallas kernel both consume without transposes.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -31,6 +32,13 @@ def set_backend(name: Optional[str]) -> None:
 
 
 def get_backend() -> str:
+    """Kernel backend. NOTE: the in-envelope dispatch only guards TRACE-time errors;
+    a Mosaic failure surfaces at jit-compile time and cannot be caught here — the
+    E2EFT_KERNELS=xla env kill-switch (or set_backend('xla')) disables the Pallas
+    paths wholesale in that case."""
+    env = os.environ.get("E2EFT_KERNELS")
+    if env in ("xla", "pallas"):
+        return env
     if _BACKEND is not None:
         return _BACKEND
     try:

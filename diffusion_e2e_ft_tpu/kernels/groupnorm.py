@@ -43,7 +43,9 @@ def _xla_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *, groups: int, eps: float,
                silu: bool, n_rows: int):
-    """Grid (B, 2, NB): phase 0 accumulates [sum, sumsq] per group; phase 1 writes."""
+    """Grid (B, 2, NB): phase 0 accumulates per-CHANNEL [sum, sumsq]; phase 1 folds
+    channels into groups via an iota-mask matmul (everything stays 2-D and
+    lane-aligned — Mosaic rejects small 1-D<->2-D reshapes) and writes."""
     phase = pl.program_id(1)
     i = pl.program_id(2)
 
@@ -63,23 +65,28 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *, groups: int, eps: 
     @pl.when(phase == 0)
     def _():
         xv = x * valid
-        # reduce rows first (2-D friendly), then fold channels into groups
-        s_c = jnp.sum(xv, axis=0)  # [C]
-        sq_c = jnp.sum(xv * xv, axis=0)  # [C]
-        s = jnp.sum(s_c.reshape(groups, gs), axis=1)  # [groups]
-        sq = jnp.sum(sq_c.reshape(groups, gs), axis=1)
-        acc_ref[0, :groups] = acc_ref[0, :groups] + s
-        acc_ref[1, :groups] = acc_ref[1, :groups] + sq
+        acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(xv, axis=0, keepdims=True)
+        acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(xv * xv, axis=0, keepdims=True)
 
     @pl.when(phase == 1)
     def _():
         count = jnp.float32(n_rows * gs)
-        mean = acc_ref[0, :groups] / count  # [groups]
-        var = acc_ref[1, :groups] / count - mean * mean
-        inv = jax.lax.rsqrt(var + eps)
-        mean_c = jnp.broadcast_to(mean[:, None], (groups, gs)).reshape(c)
-        inv_c = jnp.broadcast_to(inv[:, None], (groups, gs)).reshape(c)
-        out = (x - mean_c[None, :]) * inv_c[None, :]
+        # same-group mask [C, C]: channel j contributes to channel i iff same group
+        gi = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // gs
+        gj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // gs
+        same = (gi == gj).astype(jnp.float32)
+        group_sum = jax.lax.dot_general(
+            acc_ref[0:1, :], same, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, C]: each channel's group total
+        group_sq = jax.lax.dot_general(
+            acc_ref[1:2, :], same, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_c = group_sum / count
+        var_c = group_sq / count - mean_c * mean_c
+        inv_c = jax.lax.rsqrt(var_c + eps)
+        out = (x - mean_c) * inv_c
         out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
         if silu:
             out = out * jax.nn.sigmoid(out)
@@ -88,7 +95,9 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *, groups: int, eps: 
 
 def _pallas_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float, silu: bool) -> Array:
     b, n, c = x.shape
-    block = min(_ROW_BLOCK, n)
+    # keep the fp32 x block around 2-4MB of VMEM (the [C, C] group mask in phase 1
+    # costs c*c*4 bytes on top)
+    block = min(_ROW_BLOCK if c <= 512 else 512, n)
     pad = (-n) % block
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -106,7 +115,7 @@ def _pallas_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: fl
             pl.BlockSpec((1, c), lambda bb, p, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block, c), lambda bb, p, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, max(groups, 128)), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=INTERPRET,
     )(x, scale2, bias2)
     if pad:

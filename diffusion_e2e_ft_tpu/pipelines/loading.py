@@ -307,6 +307,31 @@ def vision_config_to_hf(c: clip_models.CLIPVisionConfig) -> Dict[str, Any]:
     }
 
 
+def text_config_to_hf(c: clip_models.CLIPTextConfig) -> Dict[str, Any]:
+    return {
+        "architectures": ["CLIPTextModel"],
+        "model_type": "clip_text_model",
+        "vocab_size": c.vocab_size,
+        "hidden_size": c.hidden_size,
+        "num_hidden_layers": c.num_layers,
+        "num_attention_heads": c.num_heads,
+        "intermediate_size": c.intermediate_size,
+        "max_position_embeddings": c.max_position_embeddings,
+        "hidden_act": c.hidden_act,
+        "layer_norm_eps": c.layer_norm_eps,
+    }
+
+
+def save_text_encoder(path: str, config: clip_models.CLIPTextConfig, params: Any) -> None:
+    """Write a text_encoder subfolder in the HF layout (config.json + safetensors)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(text_config_to_hf(config), f, indent=2)
+    convert.save_state_dict(
+        _clip_params_to_state_dict(params, "text"), os.path.join(path, "model.safetensors")
+    )
+
+
 def _clip_params_to_state_dict(params: Any, kind: str) -> Dict[str, np.ndarray]:
     """Inverse of clip_state_dict_to_params for export (vision towers)."""
     prefix = "vision_model." if kind == "vision" else "text_model."

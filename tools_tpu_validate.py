@@ -8,10 +8,14 @@ import numpy as np
 
 
 def main():
+    import importlib
+
     import jax
     import jax.numpy as jnp
 
-    from diffusion_e2e_ft_tpu.kernels import attention as attn_mod
+    # the kernels package re-exports a function named `attention`, shadowing the
+    # submodule attribute — import the module explicitly
+    attn_mod = importlib.import_module("diffusion_e2e_ft_tpu.kernels.attention")
     from diffusion_e2e_ft_tpu.kernels import flash_attention as fa
     from diffusion_e2e_ft_tpu.kernels import groupnorm as gn
 
@@ -33,17 +37,29 @@ def main():
         print(f"flash ({b},{l},{n},{d})xKV{lk}: max_err={err:.4f} {'OK' if ok else 'FAIL'}", flush=True)
 
     # ---- fused GroupNorm+SiLU, VAE/UNet shapes --------------------------
-    for (b, n, c, g, silu) in [(1, 9216, 512, 32, False), (1, 589824, 128, 32, True),
-                               (1, 9216, 1280, 32, True), (2, 36864, 512, 32, True)]:
-        x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32), jnp.bfloat16)
+    # bf16 IO rounds both paths to adjacent ULPs (0.0625 at |y| in [4,8)); compare
+    # with a relative bound of ~1.5 ULP of the output magnitude, plus one fp32 case.
+    for (b, n, c, g, silu, dt) in [
+        (1, 9216, 512, 32, False, jnp.bfloat16),
+        (1, 589824, 128, 32, True, jnp.bfloat16),
+        (1, 9216, 1280, 32, True, jnp.bfloat16),
+        (2, 36864, 512, 32, True, jnp.bfloat16),
+        (1, 9216, 512, 32, True, jnp.float32),
+    ]:
+        x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32), dt)
         scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
         bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
         out = jax.jit(lambda x: gn._pallas_group_norm(x, scale, bias, g, 1e-6, silu))(x)
         ref = jax.jit(lambda x: gn._xla_group_norm(x, scale, bias, g, 1e-6, silu))(x)
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
-        ok = err < 0.05
+        mag = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        tol = 1e-3 * max(mag, 1.0) if dt == jnp.float32 else 0.012 * max(mag, 1.0)
+        ok = err < tol
         failures += 0 if ok else 1
-        print(f"gn ({b},{n},{c},g{g},silu={silu}): max_err={err:.4f} {'OK' if ok else 'FAIL'}", flush=True)
+        print(
+            f"gn ({b},{n},{c},g{g},silu={silu},{jnp.dtype(dt).name}): "
+            f"max_err={err:.4f} (tol {tol:.4f}) {'OK' if ok else 'FAIL'}", flush=True,
+        )
 
     print("FAILURES:", failures, flush=True)
     return failures
