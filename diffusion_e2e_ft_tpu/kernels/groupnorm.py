@@ -15,6 +15,7 @@ TPU, XLA everywhere else, toggleable.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -150,8 +151,6 @@ def group_norm_silu(
     silu: bool = True,
 ) -> Array:
     """[B, H, W, C] (or [B, N, C]) fused GroupNorm(+SiLU); dispatches Pallas on TPU."""
-    from diffusion_e2e_ft_tpu.kernels.attention import get_backend
-
     orig_shape = x.shape
     if x.ndim == 4:
         b, h, w, c = x.shape
@@ -159,8 +158,11 @@ def group_norm_silu(
     else:
         x3 = x
     c = x3.shape[-1]
+    # OPT-IN only (E2EFT_GN=pallas): measured 3x slower than XLA's GN at SD2 shapes
+    # on v5e (the per-block [C, C] group-fold matmul and the two-phase re-read
+    # dominate); kept as a validated kernel for iteration, not the default path.
     usable = (
-        get_backend() == "pallas"
+        os.environ.get("E2EFT_GN") == "pallas"
         and c % groups == 0
         and c % 128 == 0  # lane-aligned channels; odd widths go to XLA
         and (c // groups) >= 1
