@@ -140,11 +140,12 @@ def main(argv=None):
         resume_from=args.resume_from_checkpoint,
     )
 
-    # --- final export (trailing spacing baked in) -------------------------
+    # --- final export (trailing spacing baked in, frozen towers copied in) --
     final_params = state.ema_params if (args.use_ema and state.ema_params is not None) else state.params
     export_dir = os.path.join(args.output_dir, "export")
     ckpt.export_hf_pipeline(
-        export_dir, ucfg, jax.device_get(final_params), vcfg, vae_params, sched_cfg
+        export_dir, ucfg, jax.device_get(final_params), vcfg, vae_params, sched_cfg,
+        source_checkpoint=path, modality=args.modality,
     )
     print(f"[train] exported HF pipeline to {export_dir}", flush=True)
 

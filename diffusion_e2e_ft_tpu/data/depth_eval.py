@@ -126,9 +126,12 @@ class DepthEvalDataset:
         filename_list_path: str,
         mode: DatasetMode = DatasetMode.EVAL,
     ):
+        from diffusion_e2e_ft_tpu.data.splits import resolve_split_path
+
         self.spec = spec
         self.mode = mode
         self.dataset_path = dataset_path
+        filename_list_path = resolve_split_path(filename_list_path)
         with open(filename_list_path) as f:
             self.filenames: List[List[str]] = [line.split() for line in f if line.strip()]
         if spec.name == "kitti":

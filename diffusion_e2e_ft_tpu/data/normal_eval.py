@@ -57,11 +57,15 @@ class NormalEvalDataset:
         load_normal: bool = True,
         load_intrins: bool = True,
     ):
+        from diffusion_e2e_ft_tpu.data.splits import dsine_split_path
+
         self.name = name
         self.dataset_dir = dataset_dir
         self.load_normal = load_normal
         self.load_intrins = load_intrins
-        split_path = split_path or os.path.join(dataset_dir, "test.txt")
+        # vendored curated split (data_split/dsine/<name>/split/*.txt) when present;
+        # else a test.txt shipped next to the data
+        split_path = dsine_split_path(name, split_path) or os.path.join(dataset_dir, "test.txt")
         with open(split_path) as f:
             self.sample_paths = [line.strip() for line in f if line.strip()]
 

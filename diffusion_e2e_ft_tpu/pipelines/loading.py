@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+import shutil
+import warnings
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -241,8 +243,14 @@ def compute_empty_text_embed(text_encoder_dir: str, pad_to: Optional[int] = None
     return np.asarray(out)
 
 
-def load_marigold_pipeline(path: str, dtype=jnp.float32):
-    """Assemble a MarigoldPipeline from an HF pipeline directory."""
+def load_marigold_pipeline(path: str, dtype=jnp.float32, allow_missing_text_encoder=False):
+    """Assemble a MarigoldPipeline from an HF pipeline directory.
+
+    The checkpoint's `text_encoder/` is REQUIRED: the UNet was conditioned on the
+    real CLIP empty-prompt embedding during training (`training/train.py:455-458`),
+    so substituting anything else changes the model's numbers. Pass
+    `allow_missing_text_encoder=True` only for synthetic/test checkpoints — a zeros
+    embedding is substituted with a loud warning."""
     from diffusion_e2e_ft_tpu.pipelines.marigold import MarigoldPipeline
 
     unet, unet_params, _ = load_unet(os.path.join(path, "unet"))
@@ -253,8 +261,21 @@ def load_marigold_pipeline(path: str, dtype=jnp.float32):
     te_dir = os.path.join(path, "text_encoder")
     if os.path.isdir(te_dir):
         empty = compute_empty_text_embed(te_dir)
-    else:
+    elif allow_missing_text_encoder:
+        warnings.warn(
+            f"{path} has no text_encoder/ subfolder; substituting a ZEROS empty-text "
+            "embedding. Inference will NOT reproduce the trained model's outputs.",
+            stacklevel=2,
+        )
         empty = np.zeros((1, 2, unet.config.cross_attention_dim), np.float32)
+    else:
+        raise FileNotFoundError(
+            f"{path} has no text_encoder/ subfolder. The empty-prompt CLIP embedding "
+            "is part of the model; a checkpoint without it cannot reproduce the "
+            "trained numbers. Re-export with the text encoder included "
+            "(training.checkpoints.export_hf_pipeline does this), or pass "
+            "allow_missing_text_encoder=True for synthetic checkpoints."
+        )
     return MarigoldPipeline(
         unet, vae, unet_params, vae_params, sched_cfg, empty, dtype=dtype,
         scheduler_type=scheduler_type,
@@ -366,11 +387,18 @@ def save_pipeline_dir(
     extra_model_index: Optional[Dict[str, Any]] = None,
     image_encoder_config: Optional[clip_models.CLIPVisionConfig] = None,
     image_encoder_params: Optional[Any] = None,
+    copy_subfolders: Optional[Dict[str, str]] = None,
 ) -> None:
     """Write an HF-layout pipeline directory (model_index.json + subfolders).
 
     The scheduler config carries whatever timestep spacing the caller set — trainers
-    pass trailing, reproducing the reference's fixed final export."""
+    pass trailing, reproducing the reference's fixed final export.
+
+    `copy_subfolders` maps subfolder name -> source directory; each is copied in
+    verbatim (bit-identical). This is how frozen towers (text_encoder, tokenizer,
+    image_encoder, feature_extractor) travel from the base checkpoint into the
+    export, matching the reference's full-pipeline save
+    (`/root/reference/training/train.py:610-630`)."""
     os.makedirs(path, exist_ok=True)
     index = {
         "_class_name": pipeline_class,
@@ -379,6 +407,10 @@ def save_pipeline_dir(
         "vae": ["diffusers", "AutoencoderKL"],
         "scheduler": ["diffusers", scheduler_class],
     }
+    for sub in copy_subfolders or ():
+        cls = _MODEL_INDEX_CLASSES.get(sub)
+        if cls is not None:
+            index[sub] = cls
     index.update(extra_model_index or {})
     with open(os.path.join(path, "model_index.json"), "w") as f:
         json.dump(index, f, indent=2)
@@ -411,3 +443,48 @@ def save_pipeline_dir(
             _clip_params_to_state_dict(image_encoder_params, "vision"),
             os.path.join(enc_dir, "model.safetensors"),
         )
+
+    for sub, src in (copy_subfolders or {}).items():
+        dst = os.path.join(path, sub)
+        if os.path.abspath(src) == os.path.abspath(dst):
+            continue
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+
+_MODEL_INDEX_CLASSES = {
+    "text_encoder": ["transformers", "CLIPTextModel"],
+    "tokenizer": ["transformers", "CLIPTokenizer"],
+    "image_encoder": ["transformers", "CLIPVisionModelWithProjection"],
+    "feature_extractor": ["transformers", "CLIPImageProcessor"],
+}
+
+
+def frozen_tower_subfolders(source_checkpoint: str, modality: str) -> Dict[str, str]:
+    """Which frozen-tower subfolders a final export must carry, resolved against the
+    base checkpoint. depth/normals runs need text_encoder (+tokenizer when present);
+    joint (GeoWizard) runs need image_encoder (+feature_extractor when present) —
+    mirroring the reference saves (`training/train.py:619-627`,
+    `GeoWizard/geowizard/training/train_depth_normal.py:862-869`). Raises if a
+    REQUIRED tower is missing from the source."""
+    required: Sequence[str]
+    optional: Sequence[str]
+    if modality == "joint":
+        required, optional = ("image_encoder",), ("feature_extractor",)
+    else:
+        required, optional = ("text_encoder",), ("tokenizer", "feature_extractor")
+    out: Dict[str, str] = {}
+    for sub in required:
+        src = os.path.join(source_checkpoint, sub)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(
+                f"base checkpoint {source_checkpoint} has no {sub}/ subfolder; the "
+                f"final export for modality={modality!r} must include it"
+            )
+        out[sub] = src
+    for sub in optional:
+        src = os.path.join(source_checkpoint, sub)
+        if os.path.isdir(src):
+            out[sub] = src
+    return out

@@ -111,10 +111,10 @@ class MarigoldPipeline:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_hf_dir(cls, path: str, dtype=jnp.float32) -> "MarigoldPipeline":
+    def from_hf_dir(cls, path: str, dtype=jnp.float32, **kw) -> "MarigoldPipeline":
         from diffusion_e2e_ft_tpu.pipelines import loading
 
-        return loading.load_marigold_pipeline(path, dtype=dtype)
+        return loading.load_marigold_pipeline(path, dtype=dtype, **kw)
 
     @classmethod
     def from_random(

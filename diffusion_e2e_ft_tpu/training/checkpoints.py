@@ -89,11 +89,24 @@ def export_hf_pipeline(
     vae_params,
     scheduler_config,
     scheduler_class: str = "DDPMScheduler",
+    source_checkpoint: Optional[str] = None,
+    modality: str = "depth",
 ) -> None:
     """Final export in the HF pipeline layout with TRAILING spacing baked in — the
-    reference's inference-bug fix is part of the artifact, not a runtime flag."""
+    reference's inference-bug fix is part of the artifact, not a runtime flag.
+
+    When `source_checkpoint` is given, the frozen towers are copied in verbatim so
+    the export is self-contained: text_encoder (+tokenizer) for depth/normals runs,
+    image_encoder (+feature_extractor) for joint runs — matching the reference's
+    full-pipeline saves (`/root/reference/training/train.py:610-630`,
+    `GeoWizard/geowizard/training/train_depth_normal.py:852-871`). The trained UNet
+    expects the REAL empty-prompt/image embedding at inference; an export without
+    these towers is not the trained model."""
     from diffusion_e2e_ft_tpu.pipelines import loading
 
+    copy_subfolders = None
+    if source_checkpoint is not None:
+        copy_subfolders = loading.frozen_tower_subfolders(source_checkpoint, modality)
     loading.save_pipeline_dir(
         output_dir,
         unet_config,
@@ -102,4 +115,5 @@ def export_hf_pipeline(
         vae_params,
         scheduler_config.replace(timestep_spacing="trailing"),
         scheduler_class=scheduler_class,
+        copy_subfolders=copy_subfolders,
     )

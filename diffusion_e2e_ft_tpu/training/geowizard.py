@@ -67,6 +67,9 @@ class GeoWizardTrainer(E2ETrainer):
         )
         self.image_encoder = image_encoder
         self.image_encoder_params = image_encoder_params
+        # GeoWizard's pyramid noise draws octave scales r ~ U[1.5, 3]
+        # (train_depth_normal.py:290-292) vs Marigold's U[2, 4]
+        self._draw_pyramid_bank(base=1.5, spread=1.5)
 
     def _loss(self, unet_params, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
         c = self.config
@@ -93,7 +96,7 @@ class GeoWizardTrainer(E2ETrainer):
         if c.e2e:
             # single-step regime: always the first denoising step, noise IS the input
             t2 = jnp.full((2 * b,), self.scheduler_config.num_train_timesteps - 1, jnp.int32)
-            noisy = self._make_noisy_latents(key_n, rgb_latents2.shape)
+            noisy = self._make_noisy_latents(key_n, rgb_latents2.shape, timesteps=t2)
         else:
             # standard diffusion training: random t, GT geo latents + added noise
             t = jax.random.randint(
@@ -114,7 +117,7 @@ class GeoWizardTrainer(E2ETrainer):
                 )
                 * self.latent_scale
             )
-            noise = self._make_noisy_latents(key_n, geo_latents.shape)
+            noise = self._make_noisy_latents(key_n, geo_latents.shape, timesteps=t2)
             noisy = sched_ops.add_noise(self.schedule, geo_latents, noise, t2)
 
         apply = self.unet.apply

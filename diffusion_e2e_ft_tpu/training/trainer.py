@@ -14,10 +14,12 @@ decoder-in-the-loop memory; data parallelism by sharding the batch leaves over a
 `Mesh(('data',))` — the gradient all-reduce is a GSPMD-inserted psum, and the logged
 loss is the global mean (the reference's `accelerator.gather(...).mean()`).
 
-In-jit pyramid noise: the octave *scale schedule* (host randomness in the reference)
-is drawn once at trainer construction from the config seed and baked as static
-metadata; per-octave gaussians remain per-step `jax.random` draws. Same noise family,
-jit-compatible.
+In-jit pyramid noise: the reference redraws the octave *scale schedule* from host
+randomness every step (`training/util/noise.py:8-18`). Host randomness can't live in
+a jitted graph, so we pre-draw a BANK of schedules from the config seed at trainer
+build, compile one branch per distinct octave-shape sequence, and pick a branch per
+step with `lax.switch` on a per-step random index — per-step schedule variation, one
+compilation. Per-octave gaussians remain per-step `jax.random` draws.
 """
 
 from __future__ import annotations
@@ -73,11 +75,15 @@ class E2ETrainer:
         self.schedule = sched_ops.make_schedule(self.scheduler_config)
         self.latent_scale = latent_scale
 
-        # static pyramid-noise octave schedule (see module docstring)
-        rng = np.random.default_rng(config.seed)
-        self._pyramid_scales = rng.random(10) * 2.0 + 2.0
+        # per-step pyramid-noise schedule bank (see module docstring); subclasses
+        # override base/spread (GeoWizard trains with r ~ U[1.5, 3])
+        self._draw_pyramid_bank(base=2.0, spread=2.0)
 
         self.optimizer = self._build_optimizer()
+
+    def _draw_pyramid_bank(self, base: float, spread: float, size: int = 16) -> None:
+        rng = np.random.default_rng(self.config.seed)
+        self._pyramid_scale_bank = rng.random((size, 10)) * spread + base
 
     # ------------------------------------------------------------------
     # Optimizer
@@ -145,7 +151,11 @@ class E2ETrainer:
     # Forward + loss
     # ------------------------------------------------------------------
 
-    def _make_noisy_latents(self, key: jax.Array, shape) -> Array:
+    def _make_noisy_latents(
+        self, key: jax.Array, shape, timesteps: Optional[Array] = None
+    ) -> Array:
+        """`timesteps` enables GeoWizard's t/1000 octave scaling
+        (`train_depth_normal.py:286-296`); None is the Marigold/SD variant."""
         nt = self.config.noise_type
         if nt is None or nt == "zeros":
             return jnp.zeros(shape, jnp.float32)
@@ -153,14 +163,42 @@ class E2ETrainer:
             return jax.random.normal(key, shape, jnp.float32)
         if nt == "pyramid":
             b, h, w, c = shape
-            sizes = noise_ops._octave_sizes(h, w, self._pyramid_scales)
-            noise = jax.random.normal(key, shape, jnp.float32)
-            keys = jax.random.split(key, len(sizes))
-            for i, (oh, ow) in enumerate(sizes):
-                octave = jax.random.normal(keys[i], (b, oh, ow, c), jnp.float32)
-                up = jax.image.resize(octave, shape, method="bilinear")
-                noise = noise + up * (0.9**i)
-            return noise / jnp.std(noise, ddof=1)
+            ts = (
+                None
+                if timesteps is None
+                else (jnp.asarray(timesteps, jnp.float32) / 1000.0).reshape(-1, 1, 1, 1)
+            )
+
+            def branch(sizes):
+                def f(k):
+                    noise = jax.random.normal(k, shape, jnp.float32)
+                    keys = jax.random.split(k, len(sizes))
+                    for i, (oh, ow) in enumerate(sizes):
+                        octave = jax.random.normal(keys[i], (b, oh, ow, c), jnp.float32)
+                        term = jax.image.resize(octave, shape, method="bilinear") * (0.9**i)
+                        if ts is not None:
+                            term = term * ts
+                        noise = noise + term
+                    return noise / jnp.std(noise, ddof=1)
+
+                return f
+
+            # one compiled branch per DISTINCT octave-shape sequence in the bank;
+            # rows mapping to the same sequence share a branch, sampling stays
+            # uniform over bank rows
+            seq_to_branch: Dict[Tuple, int] = {}
+            branches, row_branch = [], []
+            for scales in self._pyramid_scale_bank:
+                sizes = noise_ops._octave_sizes(h, w, scales)
+                if sizes not in seq_to_branch:
+                    seq_to_branch[sizes] = len(branches)
+                    branches.append(branch(sizes))
+                row_branch.append(seq_to_branch[sizes])
+            idx_key, noise_key = jax.random.split(key)
+            row = jax.random.randint(idx_key, (), 0, len(row_branch))
+            return jax.lax.switch(
+                jnp.asarray(row_branch, jnp.int32)[row], branches, noise_key
+            )
         raise ValueError(f"Unknown noise type: {nt}")
 
     def _loss(self, unet_params, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:

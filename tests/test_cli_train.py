@@ -137,7 +137,14 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     ucfg = json.load(open(export / "unet" / "config.json"))
     assert ucfg["in_channels"] == 8
 
+    # the export is self-contained: frozen text tower travels with it, and the
+    # strict loader (no override) accepts it
+    assert (export / "text_encoder" / "config.json").exists()
+    assert json.load(open(export / "model_index.json"))["text_encoder"] == [
+        "transformers", "CLIPTextModel",
+    ]
     pipe = MarigoldPipeline.from_hf_dir(str(export))
+    assert np.abs(np.asarray(pipe.params["empty_text_embed"])).sum() > 0
     img = np.zeros((64, 64, 3), np.uint8)
     out = pipe(img, processing_res=0, color_map=None)
     assert np.isfinite(out.depth_np).all()

@@ -62,7 +62,14 @@ def test_save_load_pipeline_dir(tmp_path):
     assert sched_cfg["timestep_spacing"] == "trailing"
     assert sched_cfg["prediction_type"] == "v_prediction"
 
-    pipe2 = MarigoldPipeline.from_hf_dir(path)
+    # a checkpoint without text_encoder/ is not the trained model: loading must
+    # refuse unless explicitly overridden (no silent zeros substitution)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="text_encoder"):
+        MarigoldPipeline.from_hf_dir(path)
+    with pytest.warns(UserWarning, match="ZEROS"):
+        pipe2 = MarigoldPipeline.from_hf_dir(path, allow_missing_text_encoder=True)
     # identical weights -> identical outputs
     img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
     a = pipe(img, processing_res=0, color_map=None)

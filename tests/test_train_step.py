@@ -129,6 +129,51 @@ class TestTrainStep:
         _, m = trainer.train_step(state, make_batch(), jax.random.key(0))
         assert np.isfinite(float(m["loss"]))
 
+    def test_pyramid_octave_schedule_varies_per_step(self):
+        """The reference redraws the pyramid octave scales every step
+        (training/util/noise.py:8-18); the jitted bank+switch must reproduce
+        per-step schedule variation, not one static schedule."""
+        unet, vae, up, vp = make_models()
+        cfg = TrainConfig(noise_type="pyramid", gradient_accumulation_steps=1, gradient_checkpointing=False)
+        trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+        # the bank holds several DISTINCT octave-shape sequences at a real latent size
+        from diffusion_e2e_ft_tpu.ops import noise as noise_ops
+
+        seqs = {noise_ops._octave_sizes(60, 80, s) for s in trainer._pyramid_scale_bank}
+        assert len(seqs) > 1
+        # and the per-step random index actually selects different branches
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pick(key):
+            idx_key, _ = jax.random.split(key)
+            return jax.random.randint(idx_key, (), 0, len(trainer._pyramid_scale_bank))
+
+        picks = {int(pick(jax.random.key(i))) for i in range(40)}
+        assert len(picks) > 4
+        # noise remains ~unit-std and differs across keys (different schedules/draws)
+        n1 = trainer._make_noisy_latents(jax.random.key(1), (2, 60, 80, 4))
+        n2 = trainer._make_noisy_latents(jax.random.key(2), (2, 60, 80, 4))
+        assert abs(float(jnp.std(n1)) - 1.0) < 0.05
+        assert float(jnp.abs(n1 - n2).max()) > 0.1
+
+    def test_geowizard_pyramid_bank_uses_its_own_scale_range(self):
+        from diffusion_e2e_ft_tpu.models import clip as clip_models
+        from diffusion_e2e_ft_tpu.training.geowizard import GeoWizardTrainer
+
+        unet, vae, up, vp = make_models()
+        vis_cfg = clip_models.CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=224, patch_size=32, projection_dim=32,
+        )
+        enc = clip_models.CLIPVisionModelWithProjection(vis_cfg)
+        ep = enc.init(jax.random.key(0), jnp.ones((1, 224, 224, 3)))["params"]
+        cfg = TrainConfig(noise_type="pyramid", gradient_accumulation_steps=1, gradient_checkpointing=False)
+        t = GeoWizardTrainer(cfg, unet, vae, vp, enc, ep)
+        # r ~ U[1.5, 3] (train_depth_normal.py:290-292), not Marigold's U[2, 4]
+        assert t._pyramid_scale_bank.min() >= 1.5
+        assert t._pyramid_scale_bank.max() <= 3.0
+
     def test_ema(self):
         unet, vae, up, vp = make_models()
         cfg = TrainConfig(

@@ -87,7 +87,9 @@ class TestRunTraining:
 
         from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 
-        pipe = MarigoldPipeline.from_hf_dir(export_dir)
+        # synthetic checkpoint with no text tower: override the strict reload check
+        with pytest.warns(UserWarning, match="ZEROS"):
+            pipe = MarigoldPipeline.from_hf_dir(export_dir, allow_missing_text_encoder=True)
         img = np.zeros((32, 32, 3), np.uint8)
         o = pipe(img, processing_res=0, color_map=None)
         assert np.isfinite(o.depth_np).all()
