@@ -194,7 +194,8 @@ class GEGLU(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # diffusers' GEGLU uses EXACT (erf) gelu, not the tanh approximation
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

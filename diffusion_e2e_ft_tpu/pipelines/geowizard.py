@@ -249,6 +249,7 @@ class GeoWizardPipeline:
         batch_size = max(1, batch_size)
 
         depths, normals = [], []
+        batch_rgb = jnp.broadcast_to(rgb_norm, (batch_size,) + rgb_norm.shape[1:])
         for start in range(0, ensemble_size, batch_size):
             nb = min(batch_size, ensemble_size - start)
             keys = jax.random.split(key, ensemble_size + 1)[1 + start : 1 + start + nb]
@@ -256,15 +257,22 @@ class GeoWizardPipeline:
                 [noise_ops.make_noise(noise, k, (1, h8, w8, 4), jnp.float32) for k in keys],
                 axis=0,
             )
-            batch_rgb = jnp.broadcast_to(rgb_norm, (nb,) + rgb_norm.shape[1:])
+            if nb < batch_size:
+                # pad the ragged tail to the compiled batch shape (one XLA graph
+                # for any ensemble size); padded members are dropped below
+                lat = jnp.concatenate(
+                    [lat, jnp.broadcast_to(lat[-1:], (batch_size - nb,) + lat.shape[1:])],
+                    axis=0,
+                )
+            rgb_in = batch_rgb
             if self._mesh is not None:
                 from diffusion_e2e_ft_tpu.parallel import shard_batch
 
-                batch_rgb = shard_batch(batch_rgb, self._mesh)
+                rgb_in = shard_batch(rgb_in, self._mesh)
                 lat = shard_batch(lat, self._mesh)
-            d, nrm = self._infer_jit(self.params, batch_rgb, denoising_steps, lat, dom)
-            depths.append(np.asarray(d))
-            normals.append(np.asarray(nrm))
+            d, nrm = self._infer_jit(self.params, rgb_in, denoising_steps, lat, dom)
+            depths.append(np.asarray(d)[:nb])
+            normals.append(np.asarray(nrm)[:nb])
         depth_preds = np.concatenate(depths, axis=0)
         normal_preds = np.concatenate(normals, axis=0)
 

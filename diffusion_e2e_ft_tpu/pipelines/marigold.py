@@ -246,19 +246,26 @@ class MarigoldPipeline:
             batch_size = self.find_batch_size(ensemble_size, max(rgb_norm.shape[1:3]))
 
         preds = []
+        batch_rgb = jnp.broadcast_to(rgb_norm, (batch_size,) + rgb_norm.shape[1:])
         for start in range(0, ensemble_size, batch_size):
             n = min(batch_size, ensemble_size - start)
             keys = jax.random.split(key, ensemble_size + 1)[1 + start : 1 + start + n]
             latents = jnp.concatenate(
                 [noise_ops.make_noise(noise, k, latent_shape, jnp.float32) for k in keys], axis=0
             )
-            batch_rgb = jnp.broadcast_to(rgb_norm, (n,) + rgb_norm.shape[1:])
-            batch_rgb, latents = self._place_batch(batch_rgb, latents)
+            if n < batch_size:
+                # pad the ragged tail to the compiled batch shape (one XLA graph
+                # for any ensemble size); padded members are dropped below
+                latents = jnp.concatenate(
+                    [latents, jnp.broadcast_to(latents[-1:], (batch_size - n,) + latents.shape[1:])],
+                    axis=0,
+                )
+            rgb_in, latents = self._place_batch(batch_rgb, latents)
             out = self._infer_jit(
-                self.params, batch_rgb, denoising_steps, normals, latents,
+                self.params, rgb_in, denoising_steps, normals, latents,
                 jax.random.fold_in(key, start),
             )
-            preds.append(np.asarray(out))
+            preds.append(np.asarray(out)[:n])
         preds = np.concatenate(preds, axis=0)  # [E, H, W(, 3)]
 
         uncertainty = None

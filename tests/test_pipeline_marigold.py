@@ -50,6 +50,25 @@ class TestDepth:
         assert out.uncertainty is not None
         assert np.isfinite(out.depth_np).all()
 
+    def test_ensemble_tail_batch_padded_to_one_shape(self, pipe, monkeypatch):
+        """ensemble 3 / batch 2 must NOT compile a second ragged-batch graph: the
+        tail is padded to the batch size and sliced after."""
+        shapes = []
+        orig = pipe._infer_jit
+
+        def spy(params, rgb, steps, normals, latents, key):
+            shapes.append(rgb.shape[0])
+            return orig(params, rgb, steps, normals, latents, key)
+
+        monkeypatch.setattr(pipe, "_infer_jit", spy)
+        out = pipe(
+            _img(), processing_res=64, ensemble_size=3, batch_size=2,
+            noise="gaussian", seed=1, color_map=None,
+        )
+        assert shapes == [2, 2]  # two invocations, ONE batch shape
+        assert out.depth_np.shape == (96, 128)
+        assert np.isfinite(out.depth_np).all()
+
     def test_seed_reproducible_gaussian(self, pipe):
         a = pipe(_img(), processing_res=64, noise="gaussian", seed=7, color_map=None)
         b = pipe(_img(), processing_res=64, noise="gaussian", seed=7, color_map=None)

@@ -151,6 +151,11 @@ def test_silu_gelu_parity():
     np.testing.assert_allclose(
         np.asarray(nn.gelu(jnp.asarray(x))), F.gelu(torch.from_numpy(x), approximate="tanh").numpy(), atol=1e-4
     )
+    # the GEGLU path needs the EXACT erf gelu (diffusers semantics)
+    np.testing.assert_allclose(
+        np.asarray(nn.gelu(jnp.asarray(x), approximate=False)),
+        F.gelu(torch.from_numpy(x)).numpy(), atol=1e-6,
+    )
 
 
 def test_nearest_upsample_parity():
