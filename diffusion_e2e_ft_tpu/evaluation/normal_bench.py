@@ -48,6 +48,50 @@ def evaluate_dataset(
     return M.normal_metrics(np.concatenate(pooled))
 
 
+def dsine_padding(h: int, w: int, multiple: int = 32):
+    """Centered (left, right, top, bottom) padding to the next /multiple — the DSINE
+    NNET input protocol (`/root/reference/DSINE/utils/utils.py:200-216`)."""
+    pw, ph = (-w) % multiple, (-h) % multiple
+    left = pw // 2
+    top = ph // 2
+    return left, pw - left, top, ph - top
+
+
+def nnet_predict_fn(
+    model_fn: Callable[[np.ndarray], np.ndarray],
+    multiple: int = 32,
+) -> Callable[[np.ndarray, str], np.ndarray]:
+    """Adapt a RAW normal-estimation network to the benchmark's predict signature —
+    the generic non-diffusion NNET eval path
+    (`/root/reference/DSINE/projects/baseline_normal/test.py:27-77`): center-pad the
+    input to /32 with black, run `model_fn([1,H',W',3] in [0,1]) -> [1,H',W',3+K]`,
+    crop the padded margin, drop any kappa (confidence) channels, unit-normalize.
+    The GeoWizard domain argument is ignored (NNET baselines are domain-free)."""
+
+    def predict(img01: np.ndarray, domain: str) -> np.ndarray:
+        h, w = img01.shape[:2]
+        l, r, t, b = dsine_padding(h, w, multiple)
+        x = np.pad(img01[None], ((0, 0), (t, b), (l, r), (0, 0)))
+        out = np.asarray(model_fn(x), np.float32)
+        normal = out[0, t : t + h, l : l + w, :3]
+        return normal / np.maximum(np.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+
+    return predict
+
+
+def run_nnet_benchmark(
+    base_data_dir: str,
+    model_fn: Callable[[np.ndarray], np.ndarray],
+    output_dir: str,
+    datasets: Iterable[str] = BENCHMARK_DATASETS,
+    split_paths: Optional[Dict[str, str]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """baseline_normal-style benchmark of a raw network over the DSINE datasets."""
+    return run_benchmark(
+        base_data_dir, nnet_predict_fn(model_fn), output_dir, datasets, split_paths
+    )
+
+
 def run_benchmark(
     base_data_dir: str,
     predict_fn: Callable[[np.ndarray, str], np.ndarray],

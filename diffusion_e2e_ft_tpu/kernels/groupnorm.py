@@ -1,15 +1,22 @@
-"""Fused GroupNorm(+SiLU) Pallas TPU kernel.
+"""GroupNorm(+SiLU) with a Pallas TPU statistics kernel.
 
-The UNet/VAE resnet blocks are GN -> SiLU -> conv chains; XLA computes GN as a
-separate stats reduction + normalize, each a full HBM pass over the activation, with
-the affine+SiLU sometimes fused and sometimes not. This kernel does the canonical
-two-phase pass (grid axis: phase 0 accumulates per-group sums/squares in VMEM
-scratch, phase 1 normalizes + affine + SiLU and writes) so the epilogue never costs
-an extra pass.
+Profiling the 768px pipeline (r2 trace, PERF.md) showed XLA's GroupNorm splits into
+two fusions: a per-channel stats reduction and a normalize+affine elementwise. The
+NORMALIZE fusion already streams at near HBM rate, but the STATS fusion runs ~15x
+off memory bandwidth (~54 GB/s on 75M-element decoder activations — padded-predicate
+masked reduce). So only the stats pass is worth a kernel:
 
-Stats are fp32 regardless of IO dtype (matching the fp32-island policy). Backward is
-an XLA recompute under custom_vjp. Dispatch mirrors kernels/attention.py: Pallas on
-TPU, XLA everywhere else, toggleable.
+  * Pallas stats kernel: grid (B, row_blocks), each step accumulates per-CHANNEL
+    fp32 [sum, sum_sq] over a [rows, C] block in VMEM scratch — a pure sublane
+    reduction at streaming rate. Zero-padding needs no mask: zeros contribute
+    nothing to either moment (the count uses the true row count).
+  * Group fold (C -> groups), mean/var, and the normalize+affine+SiLU apply stay in
+    XLA, where they fuse with neighbors and already run near roofline.
+
+This replaces round 1's fully-fused two-phase kernel whose per-block [C, C]
+group-fold matmul made it 3x SLOWER than XLA. Stats are fp32 regardless of IO dtype
+(fp32-island policy). Backward is an XLA recompute under custom_vjp. `E2EFT_GN=xla`
+forces the XLA path; Pallas is the TPU default.
 """
 
 from __future__ import annotations
@@ -42,86 +49,67 @@ def _xla_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float
     return out.astype(x.dtype)
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, acc_ref, *, groups: int, eps: float,
-               silu: bool, n_rows: int):
-    """Grid (B, 2, NB): phase 0 accumulates per-CHANNEL [sum, sumsq]; phase 1 folds
-    channels into groups via an iota-mask matmul (everything stays 2-D and
-    lane-aligned — Mosaic rejects small 1-D<->2-D reshapes) and writes."""
-    phase = pl.program_id(1)
-    i = pl.program_id(2)
+def _stats_kernel(x_ref, o_ref, acc_ref):
+    """Grid (B, NB): accumulate per-channel fp32 [sum, sum_sq]; write at last block."""
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
 
-    c = x_ref.shape[-1]
-    gs = c // groups
-    x = x_ref[0].astype(jnp.float32)  # [block_rows, C]
-    block_rows = x.shape[0]
-
-    # mask rows past the true length (padding contributes zeros)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0) + i * block_rows
-    valid = (row_ids < n_rows).astype(jnp.float32)  # [block_rows, 1]
-
-    @pl.when(jnp.logical_and(phase == 0, i == 0))
+    @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(phase == 0)
-    def _():
-        xv = x * valid
-        acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(xv, axis=0, keepdims=True)
-        acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(xv * xv, axis=0, keepdims=True)
+    x = x_ref[0].astype(jnp.float32)  # [block, C]
+    acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(x, axis=0, keepdims=True)
+    acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(x * x, axis=0, keepdims=True)
 
-    @pl.when(phase == 1)
+    @pl.when(i == nb - 1)
     def _():
-        count = jnp.float32(n_rows * gs)
-        # same-group mask [C, C]: channel j contributes to channel i iff same group
-        gi = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // gs
-        gj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // gs
-        same = (gi == gj).astype(jnp.float32)
-        group_sum = jax.lax.dot_general(
-            acc_ref[0:1, :], same, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, C]: each channel's group total
-        group_sq = jax.lax.dot_general(
-            acc_ref[1:2, :], same, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        mean_c = group_sum / count
-        var_c = group_sq / count - mean_c * mean_c
-        inv_c = jax.lax.rsqrt(var_c + eps)
-        out = (x - mean_c) * inv_c
-        out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
-        if silu:
-            out = out * jax.nn.sigmoid(out)
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[0] = acc_ref[:]
+
+
+def _channel_stats(x: Array) -> Array:
+    """[B, N, C] -> fp32 [B, 2, C] per-channel (sum, sum_sq) via one streaming pass."""
+    b, n, c = x.shape
+    block = min(_ROW_BLOCK, n)
+    pad = (-n) % block
+    if pad:
+        # zero rows are moment-neutral; no in-kernel mask needed
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    n_p = n + pad
+    return pl.pallas_call(
+        _stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        grid=(b, n_p // block),
+        in_specs=[
+            pl.BlockSpec((1, block, c), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(x)
 
 
 def _pallas_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float, silu: bool) -> Array:
     b, n, c = x.shape
-    # keep the fp32 x block around 2-4MB of VMEM (the [C, C] group mask in phase 1
-    # costs c*c*4 bytes on top)
-    block = min(_ROW_BLOCK if c <= 512 else 512, n)
-    pad = (-n) % block
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    n_p = n + pad
-    scale2 = scale.reshape(1, c)
-    bias2 = bias.reshape(1, c)
-
-    out = pl.pallas_call(
-        functools.partial(_gn_kernel, groups=groups, eps=eps, silu=silu, n_rows=n),
-        out_shape=jax.ShapeDtypeStruct((b, n_p, c), x.dtype),
-        grid=(b, 2, n_p // block),
-        in_specs=[
-            pl.BlockSpec((1, block, c), lambda bb, p, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bb, p, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bb, p, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block, c), lambda bb, p, i: (bb, i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
-        interpret=INTERPRET,
-    )(x, scale2, bias2)
-    if pad:
-        out = out[:, :n]
-    return out
+    gs = c // groups
+    stats = _channel_stats(x)  # [B, 2, C] fp32
+    gsum = stats[:, 0].reshape(b, groups, gs).sum(-1)  # [B, G]
+    gsq = stats[:, 1].reshape(b, groups, gs).sum(-1)
+    count = jnp.float32(n * gs)
+    mean_g = gsum / count
+    var_g = gsq / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # expand to per-channel for a flat [B, 1, C] broadcast in the apply
+    mean_c = jnp.repeat(mean_g, gs, axis=-1)[:, None, :]
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)[:, None, :]
+    out = (x.astype(jnp.float32) - mean_c) * inv_c
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -142,6 +130,17 @@ def _fused_bwd(groups, eps, silu, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _use_pallas() -> bool:
+    if os.environ.get("E2EFT_GN") == "xla" or os.environ.get("E2EFT_KERNELS") == "xla":
+        return False
+    if os.environ.get("E2EFT_GN") == "pallas" or INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def group_norm_silu(
     x: Array,
     scale: Array,
@@ -150,7 +149,7 @@ def group_norm_silu(
     eps: float,
     silu: bool = True,
 ) -> Array:
-    """[B, H, W, C] (or [B, N, C]) fused GroupNorm(+SiLU); dispatches Pallas on TPU."""
+    """[B, H, W, C] (or [B, N, C]) GroupNorm(+SiLU); Pallas stats kernel on TPU."""
     orig_shape = x.shape
     if x.ndim == 4:
         b, h, w, c = x.shape
@@ -158,14 +157,10 @@ def group_norm_silu(
     else:
         x3 = x
     c = x3.shape[-1]
-    # OPT-IN only (E2EFT_GN=pallas): measured 3x slower than XLA's GN at SD2 shapes
-    # on v5e (the per-block [C, C] group-fold matmul and the two-phase re-read
-    # dominate); kept as a validated kernel for iteration, not the default path.
     usable = (
-        os.environ.get("E2EFT_GN") == "pallas"
+        _use_pallas()
         and c % groups == 0
         and c % 128 == 0  # lane-aligned channels; odd widths go to XLA
-        and (c // groups) >= 1
     )
     if usable:
         try:

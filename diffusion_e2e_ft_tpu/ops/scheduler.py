@@ -49,6 +49,9 @@ class SchedulerConfig:
     clip_sample_range: float = 1.0
     set_alpha_to_one: bool = False
     rescale_betas_zero_snr: bool = False
+    # LCM (latent consistency) sampling parameters; only read by the lcm_* path
+    original_inference_steps: int = 50
+    timestep_scaling: float = 10.0
 
     def replace(self, **kw) -> "SchedulerConfig":
         return dataclasses.replace(self, **kw)
@@ -315,6 +318,47 @@ def ddpm_step(
     return StepOutput(prev_sample=prev_sample, pred_original_sample=x0)
 
 
+def lcm_step(
+    config: SchedulerConfig,
+    schedule: Schedule,
+    model_output: Array,
+    t: Array,
+    prev_t: Array,
+    sample: Array,
+    *,
+    key: Optional[jax.Array] = None,
+    is_last: Array = True,
+) -> StepOutput:
+    """One latent-consistency update x_t -> x_{prev_t}.
+
+    Mirrors the diffusers LCMScheduler semantics the reference pipeline accepts
+    (`/root/reference/Marigold/marigold/marigold_pipeline.py:33,127`): the x0
+    estimate is blended by the consistency boundary-condition scalings
+    (sigma_data = 0.5, scaled timestep), and every NON-final step re-noises the
+    denoised estimate to the next plan timestep (ancestral); the final step returns
+    the denoised estimate itself.
+    """
+    x0 = pred_original_sample(config, schedule, model_output, t, sample)
+
+    sigma_data = 0.5
+    scaled_t = jnp.asarray(t, jnp.float32) * config.timestep_scaling
+    c_skip = sigma_data**2 / (scaled_t**2 + sigma_data**2)
+    c_out = scaled_t / jnp.sqrt(scaled_t**2 + sigma_data**2)
+    if jnp.ndim(c_skip) > 0:
+        c_skip = c_skip.reshape(c_skip.shape + (1,) * (sample.ndim - c_skip.ndim))
+        c_out = c_out.reshape(c_out.shape + (1,) * (sample.ndim - c_out.ndim))
+    denoised = c_out * x0 + c_skip * sample
+
+    a_prev = _alpha_prev(schedule, prev_t, sample.ndim)
+    if key is None:
+        noise = jnp.zeros_like(sample)
+    else:
+        noise = jax.random.normal(key, sample.shape, sample.dtype)
+    renoised = jnp.sqrt(a_prev) * denoised + jnp.sqrt(1.0 - a_prev) * noise
+    prev_sample = jnp.where(jnp.asarray(is_last), denoised, renoised)
+    return StepOutput(prev_sample=prev_sample, pred_original_sample=denoised)
+
+
 # ---------------------------------------------------------------------------
 # K-step denoising plan (scan-friendly)
 # ---------------------------------------------------------------------------
@@ -330,3 +374,31 @@ class DenoisePlan(NamedTuple):
 def make_plan(config: SchedulerConfig, num_inference_steps: int) -> DenoisePlan:
     ts = inference_timesteps(config, num_inference_steps)
     return DenoisePlan(timesteps=ts, prev_timesteps=previous_timesteps(config, ts, num_inference_steps))
+
+
+def lcm_timesteps(
+    config: SchedulerConfig,
+    num_inference_steps: int,
+    original_inference_steps: Optional[int] = None,
+) -> np.ndarray:
+    """The LCM plan: subsample the origin-schedule timesteps (k*i - 1 ascending for
+    the distilled model's original_inference_steps) with an even skipping stride."""
+    T = config.num_train_timesteps
+    origin = original_inference_steps or config.original_inference_steps
+    if num_inference_steps > origin:
+        raise ValueError(
+            f"num_inference_steps ({num_inference_steps}) cannot exceed the distilled "
+            f"original_inference_steps ({origin})"
+        )
+    k = T // origin
+    lcm_origin = np.arange(1, origin + 1, dtype=np.int64) * k - 1
+    skipping = len(lcm_origin) // num_inference_steps
+    ts = lcm_origin[::-1][::skipping][:num_inference_steps]
+    return ts.astype(np.int32)
+
+
+def make_lcm_plan(config: SchedulerConfig, num_inference_steps: int) -> DenoisePlan:
+    """LCM plan: prev_t is the NEXT plan entry (not t - T/K); final entry is -1."""
+    ts = lcm_timesteps(config, num_inference_steps)
+    prev = np.concatenate([ts[1:], np.asarray([-1], np.int32)]).astype(np.int32)
+    return DenoisePlan(timesteps=ts, prev_timesteps=prev)

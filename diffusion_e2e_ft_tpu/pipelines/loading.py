@@ -164,12 +164,32 @@ def scheduler_config_from_hf(cfg: Dict[str, Any]) -> sched_ops.SchedulerConfig:
         clip_sample_range=cfg.get("clip_sample_range", 1.0),
         set_alpha_to_one=cfg.get("set_alpha_to_one", False),
         rescale_betas_zero_snr=cfg.get("rescale_betas_zero_snr", False),
+        original_inference_steps=cfg.get("original_inference_steps", 50),
+        timestep_scaling=cfg.get("timestep_scaling", 10.0),
     )
 
 
 def scheduler_config_to_hf(
     c: sched_ops.SchedulerConfig, class_name: str = "DDIMScheduler"
 ) -> Dict[str, Any]:
+    if "LCM" in class_name:
+        return {
+            "_class_name": class_name,
+            "num_train_timesteps": c.num_train_timesteps,
+            "beta_start": c.beta_start,
+            "beta_end": c.beta_end,
+            "beta_schedule": c.beta_schedule,
+            "prediction_type": c.prediction_type,
+            "timestep_spacing": c.timestep_spacing,
+            "steps_offset": c.steps_offset,
+            "clip_sample": c.clip_sample,
+            "clip_sample_range": c.clip_sample_range,
+            "set_alpha_to_one": c.set_alpha_to_one,
+            "rescale_betas_zero_snr": c.rescale_betas_zero_snr,
+            "original_inference_steps": c.original_inference_steps,
+            "timestep_scaling": c.timestep_scaling,
+            "trained_betas": None,
+        }
     return {
         "_class_name": class_name,
         "num_train_timesteps": c.num_train_timesteps,
@@ -257,7 +277,8 @@ def load_marigold_pipeline(path: str, dtype=jnp.float32, allow_missing_text_enco
     vae, vae_params, _ = load_vae(os.path.join(path, "vae"))
     sched_json = _read_json(os.path.join(path, "scheduler", "scheduler_config.json"))
     sched_cfg = scheduler_config_from_hf(sched_json)
-    scheduler_type = "ddpm" if "DDPM" in sched_json.get("_class_name", "") else "ddim"
+    cls_name = sched_json.get("_class_name", "")
+    scheduler_type = "lcm" if "LCM" in cls_name else ("ddpm" if "DDPM" in cls_name else "ddim")
     te_dir = os.path.join(path, "text_encoder")
     if os.path.isdir(te_dir):
         empty = compute_empty_text_embed(te_dir)

@@ -124,6 +124,7 @@ class MarigoldPipeline:
         vae_config: Optional[VAEConfig] = None,
         scheduler_config: Optional[sched_ops.SchedulerConfig] = None,
         dtype=jnp.float32,
+        scheduler_type: str = "ddim",
     ) -> "MarigoldPipeline":
         """Random-weight pipeline (tiny by default) for tests and benchmarks."""
         key = key if key is not None else jax.random.key(0)
@@ -143,7 +144,10 @@ class MarigoldPipeline:
         )["params"]
         vae_params = vae.init(k2, jnp.ones((1, 64, 64, vcfg.in_channels)))["params"]
         empty = np.zeros((1, 2, ucfg.cross_attention_dim), np.float32)
-        return cls(unet, vae, unet_params, vae_params, scfg, empty, dtype=dtype)
+        return cls(
+            unet, vae, unet_params, vae_params, scfg, empty, dtype=dtype,
+            scheduler_type=scheduler_type,
+        )
 
     # ------------------------------------------------------------------
     # Jitted device path
@@ -158,9 +162,15 @@ class MarigoldPipeline:
         normals [B,H,W,3] unit-norm. `key` drives DDPM ancestral noise (multi-step
         ddpm only; single-step output is the x0 estimate either way)."""
         cfg = self.scheduler_config
-        plan = sched_ops.make_plan(cfg, num_steps)
+        use_lcm = self.scheduler_type == "lcm"
+        plan = (
+            sched_ops.make_lcm_plan(cfg, num_steps)
+            if use_lcm
+            else sched_ops.make_plan(cfg, num_steps)
+        )
         ts = jnp.asarray(plan.timesteps)
         pts = jnp.asarray(plan.prev_timesteps)
+        is_last = jnp.arange(num_steps) == (num_steps - 1)
         use_ddpm = self.scheduler_type == "ddpm" and num_steps > 1
         step_keys = jax.random.split(
             key if key is not None else jax.random.key(0), num_steps
@@ -177,10 +187,15 @@ class MarigoldPipeline:
         )
 
         def step(latent, scan_in):
-            t, pt, k = scan_in
+            t, pt, il, k = scan_in
             unet_in = jnp.concatenate([rgb_latent, latent], axis=-1)
             model_out = self.unet.apply({"params": params["unet"]}, unet_in, t, context)
-            if use_ddpm:
+            if use_lcm:
+                out = sched_ops.lcm_step(
+                    cfg, self.schedule, model_out.astype(jnp.float32), t, pt, latent,
+                    key=k, is_last=il,
+                )
+            elif use_ddpm:
                 out = sched_ops.ddpm_step(
                     cfg, self.schedule, model_out.astype(jnp.float32), t, pt, latent, key=k
                 )
@@ -190,7 +205,7 @@ class MarigoldPipeline:
                 )
             return out.prev_sample.astype(latent.dtype), out.pred_original_sample
 
-        (_, x0s) = jax.lax.scan(step, latent0.astype(self.dtype), (ts, pts, step_keys))
+        (_, x0s) = jax.lax.scan(step, latent0.astype(self.dtype), (ts, pts, is_last, step_keys))
         final_latent = x0s[-1]
 
         decoded = self.vae.apply(

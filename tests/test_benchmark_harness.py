@@ -126,6 +126,39 @@ class TestNormalBenchEndToEnd:
         assert os.path.exists(os.path.join(out_dir, "nyuv2_metrics.txt"))
 
 
+class TestNNetBaselinePath:
+    """The generic non-diffusion NNET eval path (baseline_normal/test.py)."""
+
+    def test_padding_protocol(self):
+        # 96x128 is already /32: no padding; 100x130 pads centered to 128x160
+        assert normal_bench.dsine_padding(96, 128) == (0, 0, 0, 0)
+        l, r, t, b = normal_bench.dsine_padding(100, 130)
+        assert (l + r, t + b) == (30, 28) and abs(l - r) <= 1 and abs(t - b) <= 1
+
+    def test_run_nnet_benchmark(self, tmp_path):
+        base = TestNormalBenchEndToEnd._make_dsine_fixture(self, tmp_path)
+        seen_shapes = []
+
+        def model_fn(x):  # raw network: [1,H,W,3] -> [1,H,W,4] (normal + kappa)
+            seen_shapes.append(x.shape)
+            n = np.zeros(x.shape[:3] + (3,), np.float32)
+            n[..., 2] = 1.0
+            kappa = np.ones(x.shape[:3] + (1,), np.float32)
+            return np.concatenate([n, kappa], axis=-1)
+
+        out_dir = str(tmp_path / "out")
+        local_split = os.path.join(base, "dsine_eval", "nyuv2", "test.txt")
+        results = normal_bench.run_nnet_benchmark(
+            base, model_fn, out_dir, datasets=["nyuv2"], split_paths={"nyuv2": local_split}
+        )
+        # inputs were padded to /32 before the network ran
+        assert all(s[1] % 32 == 0 and s[2] % 32 == 0 for s in seen_shapes)
+        m = results["nyuv2"]
+        assert set(m) == {"mean", "median", "rmse", "a1", "a2", "a3", "a4", "a5"}
+        assert 0 <= m["mean"] <= 180
+        assert os.path.exists(os.path.join(out_dir, "nyuv2_metrics.txt"))
+
+
 class TestGeoWizardRoundtrip:
     def test_save_load_with_image_encoder(self, tmp_path):
         pipe = GeoWizardPipeline.from_random(jax.random.key(0))

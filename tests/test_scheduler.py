@@ -210,3 +210,79 @@ class TestSteps:
         pt = jnp.asarray([-1, -1, -1])
         out = S.ddim_step(c, sched, model_out, t, pt, sample)
         assert out.prev_sample.shape == sample.shape
+
+
+class TestLCM:
+    def test_lcm_timesteps_plan(self):
+        c = cfg()
+        # T=1000, origin=50 -> k=20, origin grid 19..999; 4 steps, stride 12
+        ts = S.lcm_timesteps(c, 4)
+        np.testing.assert_array_equal(ts, [999, 759, 519, 279])
+        # full origin schedule
+        ts50 = S.lcm_timesteps(c, 50)
+        assert ts50[0] == 999 and ts50[-1] == 19 and len(ts50) == 50
+        with pytest.raises(ValueError):
+            S.lcm_timesteps(c, 51)
+        plan = S.make_lcm_plan(c, 4)
+        np.testing.assert_array_equal(plan.prev_timesteps, [759, 519, 279, -1])
+
+    def test_lcm_step_final_is_boundary_scaled_denoised(self):
+        """Final step returns c_out*x0 + c_skip*sample (sigma_data=0.5, scaling 10)."""
+        c = cfg(prediction_type="epsilon")
+        sched = S.make_schedule(c)
+        rng = np.random.default_rng(0)
+        sample = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+        model_out = rng.normal(size=sample.shape).astype(np.float32)
+        t = 279
+        out = S.lcm_step(
+            c, sched, jnp.asarray(model_out), jnp.asarray(t), jnp.asarray(-1),
+            jnp.asarray(sample), key=None, is_last=True,
+        )
+        acp = np.asarray(sched.alphas_cumprod, np.float64)
+        x0 = (sample - np.sqrt(1 - acp[t]) * model_out) / np.sqrt(acp[t])
+        scaled = t * 10.0
+        c_skip = 0.25 / (scaled**2 + 0.25)
+        c_out = scaled / np.sqrt(scaled**2 + 0.25)
+        ref = c_out * x0 + c_skip * sample
+        np.testing.assert_allclose(np.asarray(out.prev_sample), ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.pred_original_sample), ref, rtol=1e-4, atol=1e-5)
+
+    def test_lcm_step_intermediate_renoises_to_prev_t(self):
+        """Non-final steps renoise the denoised estimate to the next plan timestep."""
+        import jax
+
+        c = cfg(prediction_type="epsilon")
+        sched = S.make_schedule(c)
+        sample = jnp.ones((1, 2, 2, 1))
+        model_out = jnp.zeros_like(sample)
+        t, pt = 999, 759
+        key = jax.random.key(3)
+        out = S.lcm_step(c, sched, model_out, jnp.asarray(t), jnp.asarray(pt), sample, key=key, is_last=False)
+        acp = np.asarray(sched.alphas_cumprod, np.float64)
+        x0 = np.asarray(sample) / np.sqrt(acp[t])
+        scaled = t * 10.0
+        denoised = (scaled / np.sqrt(scaled**2 + 0.25)) * x0 + (0.25 / (scaled**2 + 0.25)) * np.asarray(sample)
+        noise = np.asarray(jax.random.normal(key, sample.shape, sample.dtype))
+        ref = np.sqrt(acp[pt]) * denoised + np.sqrt(1 - acp[pt]) * noise
+        np.testing.assert_allclose(np.asarray(out.prev_sample), ref, rtol=1e-4, atol=1e-5)
+
+    def test_lcm_pipeline_end_to_end(self):
+        """A pipeline built from an LCMScheduler checkpoint config runs multi-step."""
+        import jax
+
+        from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
+
+        pipe = MarigoldPipeline.from_random(jax.random.key(0), scheduler_type="lcm")
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        out = pipe(img, processing_res=0, denoising_steps=4, noise="gaussian", seed=1, color_map=None)
+        assert out.depth_np.shape == (64, 64)
+        assert np.isfinite(out.depth_np).all()
+
+    def test_lcm_scheduler_config_roundtrip(self):
+        from diffusion_e2e_ft_tpu.pipelines import loading
+
+        c = cfg(original_inference_steps=40, timestep_scaling=10.0)
+        hf = loading.scheduler_config_to_hf(c, "LCMScheduler")
+        assert hf["original_inference_steps"] == 40
+        back = loading.scheduler_config_from_hf(hf)
+        assert back == c
