@@ -82,10 +82,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
 
 def _flash_bnld(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Array:
     """[BN, Lq, D] x [BN, Lk, D] -> [BN, Lq, D]. block_k must divide Lk."""
+    import os
+
     bn, lq, d = q.shape
     lk = k.shape[1]
     # small head dims leave MXU rows idle; a taller Q block restores occupancy
-    block_q = min(512 if d <= 64 else _BLOCK_Q, lq)
+    default_bq = 512 if d <= 64 else _BLOCK_Q
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
 
     pad_q = (-lq) % block_q
     if pad_q:

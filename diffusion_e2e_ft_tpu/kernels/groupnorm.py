@@ -37,13 +37,27 @@ _ROW_BLOCK = 1024  # spatial rows per grid step (flattened HW)
 
 
 def _xla_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float, silu: bool) -> Array:
-    """Reference implementation (also the backward path)."""
+    """XLA GroupNorm, written lane-friendly.
+
+    The naive `reshape(b, n, G, c/G).mean(axis=(1, 3))` reduces over a SPLIT of the
+    minor (channel/lane) dim — on TPU that lowers to a padded masked reduce running
+    ~15x off HBM bandwidth (measured 2.8 ms on a 75M-element decoder activation
+    where the read costs 0.2 ms). Reducing per-CHANNEL over the major dim keeps
+    lanes intact and streams at full rate; the tiny C->G fold happens on [B, C].
+    One-pass moments (E[x^2] - E[x]^2) in fp32 keep it to a single read."""
     b, n, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, n, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = out.reshape(b, n, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    gs = c // groups
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=1)  # [B, C] — major-dim reduce, lane-aligned
+    ss = jnp.sum(xf * xf, axis=1)
+    count = jnp.float32(n * gs)
+    mean_g = s.reshape(b, groups, gs).sum(-1) / count  # [B, G]
+    var_g = ss.reshape(b, groups, gs).sum(-1) / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, gs, axis=-1)[:, None, :]  # [B, 1, C]
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)[:, None, :]
+    out = (xf - mean_c) * inv_c
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(x.dtype)
@@ -131,14 +145,14 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("E2EFT_GN") == "xla" or os.environ.get("E2EFT_KERNELS") == "xla":
+    # OPT-IN only (E2EFT_GN=pallas). Measured on v5e at 768px: inserting the Pallas
+    # stats call changes XLA's layout/fusion decisions so the NEIGHBORING decoder
+    # convolutions stop lowering to the fast conv custom-call (pipeline 109 -> 379
+    # ms). The lane-friendly XLA formulation above gets the stats speedup without
+    # perturbing conv lowering, so it is the default everywhere.
+    if os.environ.get("E2EFT_KERNELS") == "xla":
         return False
-    if os.environ.get("E2EFT_GN") == "pallas" or INTERPRET:
-        return True
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("E2EFT_GN") == "pallas" or INTERPRET
 
 
 def group_norm_silu(

@@ -108,22 +108,46 @@ class TestNormals:
 
 class TestMeshInference:
     def test_ensemble_sharded_over_mesh_matches_single_device(self):
-        """Multi-chip ensemble parallelism: same outputs as the unsharded pipeline."""
+        """Multi-chip ensemble parallelism: same DEVICE outputs as the unsharded
+        pipeline. The comparison happens at the per-member prediction boundary —
+        downstream scipy-BFGS ensembling (max_iter=2) chaotically amplifies ~1e-6
+        reduction-reorder noise into ~1e-2 output differences, so comparing the
+        ensembled map would test BFGS sensitivity, not sharding correctness."""
+        import jax.numpy as jnp
+
+        from diffusion_e2e_ft_tpu.ops import image as im
+        from diffusion_e2e_ft_tpu.ops import noise as noise_ops
         from diffusion_e2e_ft_tpu.parallel import make_mesh
 
         img = _img()
         ref_pipe = MarigoldPipeline.from_random(jax.random.key(0))
-        a = ref_pipe(
-            img, processing_res=64, ensemble_size=8, noise="gaussian", seed=3,
-            batch_size=8, color_map=None,
-        )
         mesh_pipe = MarigoldPipeline.from_random(jax.random.key(0)).with_mesh(make_mesh())
-        b = mesh_pipe(
+
+        rgb = im.normalize_rgb(im.resize_max_res(jnp.asarray(img, jnp.float32), 64))[None]
+        h8, w8 = rgb.shape[1] // 8, rgb.shape[2] // 8
+        key = jax.random.key(3)
+        keys = jax.random.split(key, 9)[1:]
+        lat = jnp.concatenate(
+            [noise_ops.make_noise("gaussian", k, (1, h8, w8, 4), jnp.float32) for k in keys],
+            axis=0,
+        )
+        brgb = jnp.broadcast_to(rgb, (8,) + rgb.shape[1:])
+        a = np.asarray(
+            ref_pipe._infer_jit(ref_pipe.params, brgb, 1, False, lat, jax.random.fold_in(key, 0))
+        )
+        rb, lb = mesh_pipe._place_batch(brgb, lat)
+        b = np.asarray(
+            mesh_pipe._infer_jit(mesh_pipe.params, rb, 1, False, lb, jax.random.fold_in(key, 0))
+        )
+        np.testing.assert_allclose(a, b, atol=3e-4)
+
+        # and the full host path (incl. ensembling) still runs end-to-end sharded
+        out = mesh_pipe(
             img, processing_res=64, ensemble_size=8, noise="gaussian", seed=3,
             batch_size=8, color_map=None,
         )
-        # sharded execution reorders fp32 reductions; tolerance covers that noise
-        np.testing.assert_allclose(a.depth_np, b.depth_np, atol=3e-4)
+        assert out.depth_np.shape == img.shape[:2]
+        assert np.isfinite(out.depth_np).all() and out.uncertainty is not None
 
 
 class TestSchedulerTypes:
