@@ -167,7 +167,29 @@ class GeoWizardPipeline:
         self, params, rgb: Array, num_steps: int, latent0: Array, domain_vec: Array
     ) -> Tuple[Array, Array]:
         """rgb [N,H,W,3] in [-1,1]; latent0 [N,h,w,4] -> (depth [N,H,W] in [0,1],
-        normal [N,H,W,3] unit-norm, flipped to the GeoWizard convention)."""
+        normal [N,H,W,3] unit-norm, flipped to the GeoWizard convention).
+
+        Ensemble members (N) map through the single-member graph (`lax.map`) on
+        one chip: XLA's batched full-res conv+GN graphs cost ~1.8x per image at
+        batch>=2 (PERF.md). The task PAIR inside each member stays batched — joint
+        attention couples it — but its two full-res decodes are unrolled to
+        batch-1 calls for the same reason. Mesh path stays batched for GSPMD."""
+        n = rgb.shape[0]
+        if n == 1 or self._mesh is not None:
+            return self._infer_body(params, rgb, num_steps, latent0, domain_vec)
+
+        def member(args):
+            rgb_i, lat_i = args
+            d, nm = self._infer_body(
+                params, rgb_i[None], num_steps, lat_i[None], domain_vec
+            )
+            return d[0], nm[0]
+
+        return jax.lax.map(member, (rgb, latent0))
+
+    def _infer_body(
+        self, params, rgb: Array, num_steps: int, latent0: Array, domain_vec: Array
+    ) -> Tuple[Array, Array]:
         cfg = self.scheduler_config
         plan = sched_ops.make_plan(cfg, num_steps)
         ts = jnp.asarray(plan.timesteps)
@@ -204,9 +226,19 @@ class GeoWizardPipeline:
         _, x0s = jax.lax.scan(step, geo_latent, (ts, pts))
         final = x0s[-1].astype(self.dtype) / self.latent_scale_factor
 
-        decoded = self.vae.apply(
-            {"params": params["vae"]}, final, method=self.vae.decode
-        ).astype(jnp.float32)
+        if final.shape[0] == 2:
+            # single member: two batch-1 decodes dodge the batched-conv layout
+            # regression at full resolution (see class docstring / PERF.md)
+            decode = lambda z: self.vae.apply(
+                {"params": params["vae"]}, z, method=self.vae.decode
+            )
+            decoded = jnp.concatenate(
+                [decode(final[0:1]), decode(final[1:2])], axis=0
+            ).astype(jnp.float32)
+        else:
+            decoded = self.vae.apply(
+                {"params": params["vae"]}, final, method=self.vae.decode
+            ).astype(jnp.float32)
         depth_dec, normal_dec = decoded[:n], decoded[n:]
 
         depth = jnp.clip(jnp.mean(depth_dec, axis=-1), -1.0, 1.0)

@@ -160,7 +160,32 @@ class MarigoldPipeline:
     ) -> Array:
         """rgb [B,H,W,3] in [-1,1]; latent0 [B,h,w,4] -> depth [B,H,W] in [0,1] or
         normals [B,H,W,3] unit-norm. `key` drives DDPM ancestral noise (multi-step
-        ddpm only; single-step output is the x0 estimate either way)."""
+        ddpm only; single-step output is the x0 estimate either way).
+
+        Batched members run through the batch-1 graph via `lax.map`: XLA's
+        layout/fusion choices for batch>=2 full-resolution conv+GN graphs
+        materialize fp32 intermediates and layout copies that cost ~1.8x per image
+        (measured 104 -> 189 ms/img at 768px; see PERF.md round-2 trace notes),
+        while the mapped batch-1 body stays flat AND compiles once for any batch.
+        The mesh path stays batched so GSPMD can split members across devices."""
+        b = rgb.shape[0]
+        key = key if key is not None else jax.random.key(0)
+        if b == 1 or self._mesh is not None:
+            return self._infer_body(params, rgb, num_steps, normals, latent0, key)
+
+        def member(args):
+            rgb_i, lat_i, idx = args
+            return self._infer_body(
+                params, rgb_i[None], num_steps, normals, lat_i[None],
+                jax.random.fold_in(key, idx),
+            )[0]
+
+        return jax.lax.map(member, (rgb, latent0, jnp.arange(b)))
+
+    def _infer_body(
+        self, params, rgb: Array, num_steps: int, normals: bool, latent0: Array,
+        key: jax.Array,
+    ) -> Array:
         cfg = self.scheduler_config
         use_lcm = self.scheduler_type == "lcm"
         plan = (
@@ -172,9 +197,7 @@ class MarigoldPipeline:
         pts = jnp.asarray(plan.prev_timesteps)
         is_last = jnp.arange(num_steps) == (num_steps - 1)
         use_ddpm = self.scheduler_type == "ddpm" and num_steps > 1
-        step_keys = jax.random.split(
-            key if key is not None else jax.random.key(0), num_steps
-        )
+        step_keys = jax.random.split(key, num_steps)
 
         rgb_latent = (
             self.vae.apply({"params": params["vae"]}, rgb.astype(self.dtype), method=self.vae.encode_mean)
