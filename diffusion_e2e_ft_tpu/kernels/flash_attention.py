@@ -26,7 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _BLOCK_Q = 256
-_KV_CHUNKS = (512, 384, 256, 192, 128)
+# Preference order for the KV block: an on-chip trace sweep at the SD2 level-0
+# shape ([5, 9216, 64]) measured 1024 fastest (1.54 ms vs 2.71 at 512, 1.76x),
+# and the same on GeoWizard's joint KV ([10, 9216x2, 64]: 6.2 ms vs 11.0).
+# Smaller chunks remain for sequence lengths 1024 doesn't divide.
+_KV_CHUNKS = (1024, 1536, 512, 384, 256, 192, 128)
 
 # CPU tests flip this to run the kernel under the Pallas interpreter
 INTERPRET = False
@@ -87,7 +91,8 @@ def _flash_bnld(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Arr
     bn, lq, d = q.shape
     lk = k.shape[1]
     # small head dims leave MXU rows idle; a taller Q block restores occupancy
-    default_bq = 512 if d <= 64 else _BLOCK_Q
+    # (trace sweep: 1024 beats 512 by another ~5% at d=64)
+    default_bq = 1024 if d <= 64 else _BLOCK_Q
     block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
 
     pad_q = (-lq) % block_q
