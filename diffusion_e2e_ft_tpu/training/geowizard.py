@@ -66,19 +66,32 @@ class GeoWizardTrainer(E2ETrainer):
             latent_scale,
         )
         self.image_encoder = image_encoder
-        self.image_encoder_params = image_encoder_params
+        self.image_encoder_params = jax.tree.map(jnp.asarray, image_encoder_params)
         # GeoWizard's pyramid noise draws octave scales r ~ U[1.5, 3]
         # (train_depth_normal.py:290-292) vs Marigold's U[2, 4]
         self._draw_pyramid_bank(base=1.5, spread=1.5)
 
-    def _loss(self, unet_params, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
+    def _frozen(self):
+        f = super()._frozen()
+        f["image_encoder"] = self.image_encoder_params
+        return f
+
+    def place_frozen(self, mesh) -> None:
+        from diffusion_e2e_ft_tpu.parallel import replicated
+
+        super().place_frozen(mesh)
+        self.image_encoder_params = jax.device_put(
+            self.image_encoder_params, replicated(mesh)
+        )
+
+    def _loss(self, unet_params, frozen, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
         c = self.config
         rgb = batch["rgb"].astype(jnp.float32)
         mask = batch["val_mask"]
         b = rgb.shape[0]
 
         rgb_latents = jax.lax.stop_gradient(
-            self.vae.apply({"params": self.vae_params}, rgb, method=self.vae.encode_mean)
+            self.vae.apply({"params": frozen["vae"]}, rgb, method=self.vae.encode_mean)
             * self.latent_scale
         )
         rgb_latents2 = jnp.concatenate([rgb_latents, rgb_latents], axis=0)
@@ -86,7 +99,7 @@ class GeoWizardTrainer(E2ETrainer):
         # CLIP-vision conditioning (frozen)
         pix = clip_models.clip_preprocess((rgb + 1.0) / 2.0)
         img_embed = jax.lax.stop_gradient(
-            self.image_encoder.apply({"params": self.image_encoder_params}, pix)
+            self.image_encoder.apply({"params": frozen["image_encoder"]}, pix)
         )[:, None, :]
         img_embed2 = jnp.concatenate([img_embed, img_embed], axis=0)
 
@@ -105,7 +118,7 @@ class GeoWizardTrainer(E2ETrainer):
             t2 = jnp.concatenate([t, t], axis=0)
             geo_latents = jax.lax.stop_gradient(
                 self.vae.apply(
-                    {"params": self.vae_params},
+                    {"params": frozen["vae"]},
                     jnp.concatenate(
                         [
                             jnp.repeat(batch["depth_target"][..., None], 3, axis=-1),
@@ -137,7 +150,7 @@ class GeoWizardTrainer(E2ETrainer):
                 self.scheduler_config, self.schedule, model_pred.astype(jnp.float32), t2, noisy
             )
             decoded = self.vae.apply(
-                {"params": self.vae_params}, x0 / self.latent_scale, method=self.vae.decode
+                {"params": frozen["vae"]}, x0 / self.latent_scale, method=self.vae.decode
             ).astype(jnp.float32)
             depth_dec, normal_dec = decoded[:b], decoded[b:]
 

@@ -56,6 +56,7 @@ def run_training(
         from jax.sharding import NamedSharding, PartitionSpec
 
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        trainer.place_frozen(mesh)
 
     key = jax.random.key(config.seed)
     timer = StepTimer()

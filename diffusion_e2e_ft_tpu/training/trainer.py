@@ -67,7 +67,11 @@ class E2ETrainer:
         self.config = config
         self.unet = unet
         self.vae = vae
-        self.vae_params = vae_params
+        # Frozen parameters are THREADED through the jitted step as arguments
+        # (see _frozen / _train_step_jit) — capturing them in the jit closure
+        # embeds them as ~334 MB of HLO literals, which bloats the module 30x
+        # and (on the axon tunnel) exceeds the remote-compile request limit.
+        self.vae_params = jax.tree.map(jnp.asarray, vae_params)
         self.empty_text_embed = jnp.asarray(empty_text_embed, jnp.float32)
         self.scheduler_config = scheduler_config or sched_ops.SchedulerConfig(
             prediction_type=config.prediction_type
@@ -201,7 +205,17 @@ class E2ETrainer:
             )
         raise ValueError(f"Unknown noise type: {nt}")
 
-    def _loss(self, unet_params, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
+    def _frozen(self) -> Dict[str, Any]:
+        """Non-trainable arrays passed to the jitted step as real arguments."""
+        return {"vae": self.vae_params, "empty_text_embed": self.empty_text_embed}
+
+    def place_frozen(self, mesh) -> None:
+        """Replicate the frozen params over a mesh (call alongside state/batch
+        sharding; single-device-committed inputs conflict with a mesh-jitted step)."""
+        self.vae_params = jax.device_put(self.vae_params, replicated(mesh))
+        self.empty_text_embed = jax.device_put(self.empty_text_embed, replicated(mesh))
+
+    def _loss(self, unet_params, frozen, batch: Dict[str, Array], key: jax.Array) -> Tuple[Array, Dict[str, Array]]:
         c = self.config
         rgb = batch["rgb"].astype(jnp.float32)  # [B,H,W,3] in [-1,1]
         mask = batch["val_mask"]
@@ -209,16 +223,15 @@ class E2ETrainer:
 
         # frozen VAE encode (no gradient needed into the encoder)
         rgb_latents = jax.lax.stop_gradient(
-            self.vae.apply({"params": self.vae_params}, rgb, method=self.vae.encode_mean)
+            self.vae.apply({"params": frozen["vae"]}, rgb, method=self.vae.encode_mean)
             * self.latent_scale
         )
 
         t = jnp.full((b,), self.scheduler_config.num_train_timesteps - 1, jnp.int32)
         noisy = self._make_noisy_latents(key, rgb_latents.shape)
 
-        context = jnp.broadcast_to(
-            self.empty_text_embed[0][None], (b,) + self.empty_text_embed.shape[1:]
-        )
+        empty_text = frozen["empty_text_embed"]
+        context = jnp.broadcast_to(empty_text[0][None], (b,) + empty_text.shape[1:])
         unet_in = (
             jnp.concatenate([rgb_latents, noisy], axis=-1)
             if c.noise_type is not None
@@ -233,7 +246,7 @@ class E2ETrainer:
             self.scheduler_config, self.schedule, model_pred.astype(jnp.float32), t, noisy
         )
         decoded = self.vae.apply(
-            {"params": self.vae_params}, x0 / self.latent_scale, method=self.vae.decode
+            {"params": frozen["vae"]}, x0 / self.latent_scale, method=self.vae.decode
         ).astype(jnp.float32)
 
         if c.modality == "depth":
@@ -256,13 +269,18 @@ class E2ETrainer:
     # Train step
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch: Dict[str, Array], key: jax.Array):
         """One micro-batch step. With gradient accumulation, the optimizer only
         applies updates every K-th call (optax.MultiSteps), matching
         `accelerator.accumulate`."""
+        return self._train_step_jit(state, batch, key, self._frozen())
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_jit(
+        self, state: TrainState, batch: Dict[str, Array], key: jax.Array, frozen
+    ):
         (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, batch, key
+            state.params, frozen, batch, key
         )
         updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -295,4 +313,5 @@ class E2ETrainer:
         step then runs SPMD with GSPMD-inserted gradient reductions."""
         state = jax.device_put(state, replicated(mesh))
         batch = shard_batch(batch, mesh)
+        self.place_frozen(mesh)
         return state, batch

@@ -215,3 +215,29 @@ class TestDataParallel:
         jax.clear_caches()
         s1_ref, m1_ref = trainer.train_step(ref_state, dict(batch), jax.random.key(0))
         np.testing.assert_allclose(loss_sharded, float(m1_ref["loss"]), rtol=2e-4)
+
+
+class TestFrozenParamsNotEmbedded:
+    def test_module_size_independent_of_frozen_params(self):
+        """Frozen VAE params must be jit ARGUMENTS, not closure constants: embedding
+        them as HLO literals bloats the full-SD2 train module to ~340 MB, which the
+        axon remote-compile tunnel rejects (HTTP 413). Guard: lowering the step with
+        RANDOM (incompressible) frozen params must cost no more module bytes than
+        with all-zeros params beyond a small slack."""
+        unet, vae, up, vp_zero = make_models()
+        vp_rand = jax.tree.map(
+            lambda x: jax.random.normal(jax.random.key(7), x.shape, x.dtype), vp_zero
+        )
+        batch = make_batch(b=1)
+        sizes = {}
+        for tag, vp in (("zeros", jax.tree.map(jnp.zeros_like, vp_zero)), ("random", vp_rand)):
+            cfg = TrainConfig(gradient_accumulation_steps=1, gradient_checkpointing=False)
+            trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 32), np.float32))
+            state = trainer.init_state(up)
+            lowered = jax.jit(
+                trainer._train_step_jit.__wrapped__, static_argnums=0, donate_argnums=1
+            ).lower(trainer, state, batch, jax.random.key(0), trainer._frozen())
+            sizes[tag] = len(lowered.compiler_ir("hlo").as_serialized_hlo_module_proto())
+        # the tiny VAE is ~0.1 MB of params; embedded literals would add ~4x that
+        # for the random tree vs the (run-length-encodable) zeros tree
+        assert sizes["random"] <= sizes["zeros"] + 20_000, sizes
