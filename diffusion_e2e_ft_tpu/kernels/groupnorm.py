@@ -48,8 +48,22 @@ def _xla_group_norm(x: Array, scale: Array, bias: Array, groups: int, eps: float
     b, n, c = x.shape
     gs = c // groups
     xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=1)  # [B, C] — major-dim reduce, lane-aligned
-    ss = jnp.sum(xf * xf, axis=1)
+    if x.dtype == jnp.bfloat16 and os.environ.get("E2EFT_GN_STATS") == "mxu":
+        # OPT-IN MXU statistics (E2EFT_GN_STATS=mxu): per-channel sum as a bf16
+        # mat-vec + sum-of-squares as the diagonal of the bf16 Gram matrix x^T x
+        # (bf16xbf16 products are exact in fp32; fp32 accumulation = the
+        # fp32-island semantics, only summation order differs). In-isolation
+        # roofline says <0.4 ms/layer, but IN the pipeline the dot custom-call
+        # breaks the producer fusion chain (like the Pallas stats kernel):
+        # measured 126 ms vs 98.5 ms at 768px, so the fused lane-friendly
+        # reduce below stays the default despite its 5-10x-off-bandwidth stats.
+        ones = jnp.ones((n,), jnp.bfloat16)
+        s = jnp.einsum("n,bnc->bc", ones, x, preferred_element_type=jnp.float32)
+        gram = jnp.einsum("bnc,bnd->bcd", x, x, preferred_element_type=jnp.float32)
+        ss = jnp.diagonal(gram, axis1=1, axis2=2)
+    else:
+        s = jnp.sum(xf, axis=1)  # [B, C] — major-dim reduce, lane-aligned
+        ss = jnp.sum(xf * xf, axis=1)
     count = jnp.float32(n * gs)
     mean_g = s.reshape(b, groups, gs).sum(-1) / count  # [B, G]
     var_g = ss.reshape(b, groups, gs).sum(-1) / count - mean_g * mean_g
