@@ -181,3 +181,28 @@ def test_find_batch_size():
     assert MarigoldPipeline.find_batch_size(10, 768) == 4
     assert MarigoldPipeline.find_batch_size(10, 512) == 8
     assert MarigoldPipeline.find_batch_size(10, 1024) == 2
+
+
+class TestMappedBatchEquivalence:
+    def test_batched_members_match_single_member_calls(self, pipe):
+        """batch>1 routes members through the batch-1 graph via lax.map (the
+        batched full-res conv+GN graph costs ~1.8x per image on TPU, PERF.md);
+        the mapped path must return exactly what per-member batch-1 calls do."""
+        import jax.numpy as jnp
+
+        from diffusion_e2e_ft_tpu.ops import image as im
+        from diffusion_e2e_ft_tpu.ops import noise as noise_ops
+
+        img = _img()
+        rgb = im.normalize_rgb(im.resize_max_res(jnp.asarray(img, jnp.float32), 64))[None]
+        h8, w8 = rgb.shape[1] // 8, rgb.shape[2] // 8
+        keys = jax.random.split(jax.random.key(5), 3)
+        lats = [noise_ops.make_noise("gaussian", k, (1, h8, w8, 4), jnp.float32) for k in keys]
+        batched = pipe._infer_jit(
+            pipe.params, jnp.broadcast_to(rgb, (3,) + rgb.shape[1:]), 1, False,
+            jnp.concatenate(lats, axis=0),
+        )
+        singles = [pipe._infer_jit(pipe.params, rgb, 1, False, lat)[0] for lat in lats]
+        np.testing.assert_allclose(
+            np.asarray(batched), np.stack([np.asarray(s) for s in singles]), atol=1e-5
+        )
