@@ -227,13 +227,16 @@ class GeoWizardPipeline:
         final = x0s[-1].astype(self.dtype) / self.latent_scale_factor
 
         if final.shape[0] == 2:
-            # single member: two batch-1 decodes dodge the batched-conv layout
-            # regression at full resolution (see class docstring / PERF.md)
-            decode = lambda z: self.vae.apply(
-                {"params": params["vae"]}, z, method=self.vae.decode
-            )
-            decoded = jnp.concatenate(
-                [decode(final[0:1]), decode(final[1:2])], axis=0
+            # single member: batch-1 decodes dodge the batched-conv layout
+            # regression at full resolution (see class docstring / PERF.md).
+            # lax.map (not unrolling) compiles ONE decode body — the r2 trace
+            # showed XLA lowering one of two unrolled copies with slow
+            # conv-fusions (~11 ms) while the other got fast custom-calls.
+            decoded = jax.lax.map(
+                lambda z: self.vae.apply(
+                    {"params": params["vae"]}, z[None], method=self.vae.decode
+                )[0],
+                final,
             ).astype(jnp.float32)
         else:
             decoded = self.vae.apply(
