@@ -161,6 +161,13 @@ def bench_train(res=480, width=640, batch=2):
 
 
 def main():
+    import jax
+
+    # persistent compile cache: works through the axon tunnel and turns the
+    # ~10-minute first compile of the full pipeline into seconds on repeat runs
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     which = os.environ.get("E2EFT_BENCH", "depth")
     fn = {"depth": bench_depth, "geowizard": bench_geowizard, "train": bench_train}[which]
     print(json.dumps(fn()))
