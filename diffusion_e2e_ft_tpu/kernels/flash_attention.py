@@ -9,8 +9,13 @@ written once at the final KV step. No [L, L] probability matrix ever materialize
 and KV never needs to be fully VMEM-resident — so the VAE's single 512-dim head at
 9216 tokens and GeoWizard's 2x-length joint KV are in-envelope.
 
-The backward pass recomputes attention with XLA ops under a custom VJP — training
-gets correct gradients while inference keeps the fused kernel.
+The backward pass is a pair of Pallas kernels in the FlashAttention-2 form: the
+forward (when differentiated) additionally emits the per-row log-sum-exp, and the
+backward recomputes probability blocks from (q, k, lse) to accumulate dq (grid over
+KV) and dk/dv (grid over Q) without ever materializing the [L, L] matrix. The
+delta term rowsum(dO*O) is a cheap minor-dim reduce left to XLA where it fuses
+with the incoming cotangent. `E2EFT_FA_BWD=xla` restores the round-2 XLA-recompute
+backward.
 """
 
 from __future__ import annotations
@@ -127,6 +132,219 @@ def _flash_bnld(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Arr
     return out
 
 
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
+    """Forward that also writes per-row log-sum-exp (the backward residual)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+
+
+def _flash_bnld_lse(q: Array, k: Array, v: Array, scale: float, block_k: int):
+    """Forward returning (out, lse). lse is fp32 [BN, Lq, 1] (padded rows sliced)."""
+    import os
+
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    default_bq = 1024 if d <= 64 else _BLOCK_Q
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
+    pad_q = (-lq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    lq_p = lq + pad_q
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_lse, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bn, lq_p, 1), jnp.float32),
+        ),
+        grid=(bn, lq_p // block_q, lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+    if pad_q:
+        out = out[:, :lq]
+        lse = lse[:, :lq]
+    return out, lse
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref, *, scale: float):
+    """Grid (bn, qi, ki), ki innermost: dq[qi] += (p ∘ (dO·Vᵀ − Δ)) · K · scale."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse_ref[0])  # [bq, bk], lse broadcasts from [bq, 1]
+    dp = jax.lax.dot_general(
+        do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dd_ref[0]) * scale
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale: float):
+    """Grid (bn, ki, qi), qi innermost: dv[ki] += pᵀ·dO; dk[ki] += dsᵀ·Q·scale."""
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse_ref[0])  # [bq, bk]
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dd_ref[0]) * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
+    """[BN, L, D] backward. Zero-padded q/do rows are self-masking: padded dO rows
+    zero their dv/dk contributions and Δ=0 zeros ds (q pads to zeros in fwd, so
+    lse stays finite — no inf·0)."""
+    import os
+
+    bn, lq, d = q.shape
+    lk = k.shape[1]
+    default_bq = 1024 if d <= 64 else _BLOCK_Q
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
+    pad_q = (-lq) % block_q
+
+    dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad_q), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q), (0, 0)))
+        dd = jnp.pad(dd, ((0, 0), (0, pad_q), (0, 0)))
+    lq_p = lq + pad_q
+
+    q_spec_qk = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    k_spec_qk = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    r_spec_qk = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bn, lq_p, d), q.dtype),
+        grid=(bn, lq_p // block_q, lk // block_k),
+        in_specs=[q_spec_qk, k_spec_qk, k_spec_qk, q_spec_qk, r_spec_qk, r_spec_qk],
+        out_specs=q_spec_qk,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, lse, dd)
+
+    q_spec_kq = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    k_spec_kq = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    r_spec_kq = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, lk, d), v.dtype),
+        ),
+        grid=(bn, lk // block_k, lq_p // block_q),
+        in_specs=[q_spec_kq, k_spec_kq, k_spec_kq, q_spec_kq, r_spec_kq, r_spec_kq],
+        out_specs=(k_spec_kq, k_spec_kq),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, lse, dd)
+
+    if pad_q:
+        dq = dq[:, :lq]
+    return dq, dk, dv
+
+
 def _xla_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
@@ -145,18 +363,43 @@ def _flash_btnh(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Arr
     return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3)
 
 
+def _use_pallas_bwd() -> bool:
+    import os
+
+    return os.environ.get("E2EFT_FA_BWD", "pallas") != "xla"
+
+
 def _flash_fwd(q, k, v, scale, block_k):
-    return _flash_btnh(q, k, v, scale, block_k), (q, k, v)
+    if not _use_pallas_bwd():
+        return _flash_btnh(q, k, v, scale, block_k), (q, k, v, None, None)
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    out, lse = _flash_bnld_lse(qt, kt, vt, scale, block_k)
+    return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3), (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_k, res, g):
-    q, k, v = res
+    q, k, v, out_bnld, lse = res
+    if out_bnld is None:  # E2EFT_FA_BWD=xla: round-2 recompute fallback
+        def f(q, k, v):
+            return _xla_reference(q, k, v, scale)
 
-    def f(q, k, v):
-        return _xla_reference(q, k, v, scale)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+        _, vjp = jax.vjp(f, q, k, v)
+        return vjp(g)
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    gt = g.transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+    dq, dk, dv = _flash_bwd_bnld(qt, kt, vt, gt, out_bnld, lse, scale, block_k)
+    dq = dq.reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+    dk = dk.reshape(b, n, lk, d).transpose(0, 2, 1, 3)
+    dv = dv.reshape(b, n, lk, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv
 
 
 _flash_btnh.defvjp(_flash_fwd, _flash_bwd)

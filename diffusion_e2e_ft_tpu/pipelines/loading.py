@@ -294,7 +294,9 @@ def load_marigold_pipeline(path: str, dtype=jnp.float32, allow_missing_text_enco
             f"{path} has no text_encoder/ subfolder. The empty-prompt CLIP embedding "
             "is part of the model; a checkpoint without it cannot reproduce the "
             "trained numbers. Re-export with the text encoder included "
-            "(training.checkpoints.export_hf_pipeline does this), or pass "
+            "(training.checkpoints.export_hf_pipeline does this since round 2), "
+            "upgrade an older export by copying text_encoder/ (and tokenizer/) from "
+            "the base SD2 checkpoint into it, or pass "
             "allow_missing_text_encoder=True for synthetic checkpoints."
         )
     return MarigoldPipeline(

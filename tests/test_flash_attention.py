@@ -80,6 +80,79 @@ class TestNumerics:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+class TestBackward:
+    """Pallas dq/dk/dv kernels (FlashAttention-2 form) vs XLA autodiff."""
+
+    def _check(self, q, k, v, scale=None, atol=1e-3):
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v, scale=scale) * jnp.cos(q[..., :1]))
+
+        def ref_loss(q, k, v):
+            s = scale if scale is not None else q.shape[-1] ** -0.5
+            return jnp.sum(attn._xla_attention(q, k, v, s) * jnp.cos(q[..., :1]))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol, rtol=atol)
+
+    def test_grads_q_padding(self):
+        """L=576 pads q/do to 768: padded rows must be self-masking in dk/dv."""
+        self._check(*_mk(1, 576, 2, 64, seed=10))
+
+    def test_grads_joint_kv(self):
+        """GeoWizard joint shape Lk = 2 * Lq."""
+        self._check(*_mk(2, 256, 2, 64, lk=512, seed=11))
+
+    def test_grads_geowizard_head_dim(self):
+        """d=40 (non-lane-aligned GeoWizard head)."""
+        self._check(*_mk(1, 256, 2, 40, seed=12))
+
+    def test_grads_custom_scale(self):
+        self._check(*_mk(1, 256, 1, 64, seed=13), scale=0.37)
+
+    def test_grads_vae_head(self):
+        """Single 512-dim VAE head."""
+        self._check(*_mk(1, 256, 1, 512, seed=14), atol=3e-3)
+
+    def test_grads_bf16(self):
+        q, k, v = _mk(1, 256, 2, 64, seed=15)
+        qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(attn._xla_attention(q, k, v, None) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b), atol=0.15, rtol=0.1
+            )
+
+    def test_xla_fallback_env(self, monkeypatch):
+        monkeypatch.setenv("E2EFT_FA_BWD", "xla")
+        self._check(*_mk(1, 256, 1, 64, seed=16))
+
+    def test_forward_lse_variant_matches(self):
+        """The lse-emitting forward must produce the same output as the primal."""
+        q, k, v = _mk(1, 512, 2, 64, seed=17)
+        b, l, n, d = q.shape
+        qt = q.transpose(0, 2, 1, 3).reshape(b * n, l, d)
+        kt = k.transpose(0, 2, 1, 3).reshape(b * n, l, d)
+        vt = v.transpose(0, 2, 1, 3).reshape(b * n, l, d)
+        out, lse = fa._flash_bnld_lse(qt, kt, vt, d**-0.5, 256)
+        ref = fa._flash_bnld(qt, kt, vt, d**-0.5, 256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        # lse cross-check against dense logits
+        logits = np.einsum("bqd,bkd->bqk", qt, kt) * d**-0.5
+        lse_ref = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) + logits.max(-1)
+        np.testing.assert_allclose(np.asarray(lse[..., 0]), lse_ref, atol=2e-5)
+
+
 class TestEnvelope:
     def test_vae_shape_single_512_head(self):
         """The VAE mid-block shape: one 512-dim head (grid-over-KV keeps it in

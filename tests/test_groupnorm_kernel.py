@@ -40,6 +40,34 @@ def test_matches_torch(silu):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("mean_scale", [1e2, 1e3])
+def test_large_mean_cancellation(mean_scale):
+    """One-pass E[x^2]-E[x]^2 cancels digits when |mean| >> std; the clamp before
+    rsqrt plus fp32 stats must keep both paths within a pinned torch tolerance
+    (torch GroupNorm is effectively two-pass)."""
+    rng = np.random.default_rng(7)
+    b, n, c, g = 2, 300, 128, 32
+    x = (rng.normal(size=(b, n, c)) * 0.1 + mean_scale * rng.normal(size=(b, 1, c))).astype(np.float32)
+    scale = rng.normal(size=(c,)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    ref = _torch_ref(x, scale, bias, g, 1e-5, True)
+    for fn in (GN._pallas_group_norm, GN._xla_group_norm):
+        out = fn(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), g, 1e-5, True)
+        # fp32 one-pass at mean/std ~ 1e3-1e4 loses ~8-13 bits in the variance;
+        # normalized outputs stay within ~2e-2 of torch — pinned here.
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+
+
+def test_variance_clamp_no_nan():
+    """Constant input: one-pass variance can be tiny-negative; rsqrt must not NaN."""
+    x = jnp.full((1, 257, 128), 3333.0, jnp.float32)
+    scale = jnp.ones(128)
+    bias = jnp.zeros(128)
+    for fn in (GN._pallas_group_norm, GN._xla_group_norm):
+        out = fn(x, scale, bias, 32, 1e-5, False)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_row_padding_mask():
     """n not divisible by the row block: padded rows must not pollute the stats."""
     rng = np.random.default_rng(1)

@@ -61,6 +61,40 @@ def main():
             f"max_err={err:.4f} (tol {tol:.4f}) {'OK' if ok else 'FAIL'}", flush=True,
         )
 
+    # ---- flash-attention BACKWARD (Pallas dq/dk/dv vs XLA recompute) ----
+    # The training path: bf16 q/k/v at SD2 shapes, fp32 cotangent reduction.
+    # Tolerances are relative to the XLA-recompute grads' own magnitude (both
+    # paths accumulate in fp32; bf16 rounding dominates the delta).
+    import os as _os
+
+    for (b, l, n, d, lk) in [(2, 4800, 5, 64, 4800), (1, 2304, 10, 64, 4608),
+                             (2, 576, 8, 40, 1152)]:
+        q = jnp.asarray(rng.normal(size=(b, l, n, d)).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, lk, n, d)).astype(np.float32), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, lk, n, d)).astype(np.float32), jnp.bfloat16)
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+        g_pallas = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        _os.environ["E2EFT_FA_BWD"] = "xla"
+        try:
+            jax.clear_caches()
+            g_xla = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        finally:
+            _os.environ.pop("E2EFT_FA_BWD", None)
+            jax.clear_caches()
+        for name, a, r in zip(("dq", "dk", "dv"), g_pallas, g_xla):
+            err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32))))
+            mag = float(jnp.max(jnp.abs(r.astype(jnp.float32))))
+            tol = 0.03 * max(mag, 1.0)
+            ok = err < tol
+            failures += 0 if ok else 1
+            print(
+                f"flash-bwd {name} ({b},{l},{n},{d})xKV{lk}: max_err={err:.4f} "
+                f"(tol {tol:.4f}) {'OK' if ok else 'FAIL'}", flush=True,
+            )
+
     print("FAILURES:", failures, flush=True)
     return failures
 
