@@ -112,7 +112,7 @@ def bench_geowizard():
     }
 
 
-def bench_train(res=480, width=640, batch=2):
+def bench_train(res=480, width=640, batch=2, **cfg_overrides):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,7 +134,9 @@ def bench_train(res=480, width=640, batch=2):
         jax.random.key(0), jnp.ones((1, 8, 8, 8)), jnp.asarray([999]), jnp.ones((1, 2, 1024))
     )["params"]
     vp = jax.jit(vae.init)(jax.random.key(1), jnp.ones((1, 64, 64, 3)))["params"]
-    cfg = TrainConfig(gradient_accumulation_steps=1, gradient_checkpointing=True)
+    cfg = TrainConfig(
+        gradient_accumulation_steps=1, gradient_checkpointing=True, **cfg_overrides
+    )
     trainer = E2ETrainer(cfg, unet, vae, vp, np.zeros((1, 2, 1024), np.float32))
     state = trainer.init_state(up)
     batch_data = {

@@ -80,28 +80,55 @@ class GroupNormAct(nn.Module):
     dtype: jnp.dtype = jnp.float32  # output dtype
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_params: bool = False):
         from diffusion_e2e_ft_tpu.kernels.groupnorm import group_norm_silu
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if return_params:  # fused GN->conv path reads the params, skips the apply
+            return scale, bias
         return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu).astype(
             self.dtype
         )
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter holder tree-identical to `nn.Conv(features, (3, 3))` (kernel HWIO
+    fp32 lecun-normal, bias zeros) for the fused GN+SiLU->conv dispatch."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, in_channels, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResnetBlock(nn.Module):
-    """GN -> SiLU -> conv3x3 (+ time-emb shift) -> GN -> SiLU -> conv3x3, residual."""
+    """GN -> SiLU -> conv3x3 (+ time-emb shift) -> GN -> SiLU -> conv3x3, residual.
+
+    With `fused=True` both GN+SiLU->conv pairs dispatch to the fused Pallas kernel
+    (`kernels/gn_conv.py` — one VMEM-resident pass instead of XLA's slow stats
+    reduce + materialized normalize; falls back to the identical-math XLA
+    composite off-TPU or at ineligible shapes). The parameter tree is identical
+    in both modes, so checkpoints are interchangeable."""
 
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     use_time_emb: bool = True
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        if self.fused:
+            return self._fused_call(x, temb)
         residual = x
         h = GroupNormAct(self.groups, eps=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
@@ -117,6 +144,33 @@ class ResnetBlock(nn.Module):
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
             )(residual)
         return residual + h
+
+    def _fused_call(self, x: Array, temb: Optional[Array]) -> Array:
+        from diffusion_e2e_ft_tpu.kernels.gn_conv import gn_silu_conv3x3
+
+        residual = x
+        x = x.astype(self.dtype)
+        s1, b1 = GroupNormAct(self.groups, eps=self.eps, dtype=self.dtype, name="norm1")(
+            x, return_params=True
+        )
+        k1, cb1 = _Conv3x3Params(self.out_channels, name="conv1")(x.shape[-1])
+        h = gn_silu_conv3x3(x, s1, b1, self.groups, self.eps, k1, cb1)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        s2, b2 = GroupNormAct(self.groups, eps=self.eps, dtype=self.dtype, name="norm2")(
+            h, return_params=True
+        )
+        k2, cb2 = _Conv3x3Params(self.out_channels, name="conv2")(h.shape[-1])
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return gn_silu_conv3x3(
+            h, s2, b2, self.groups, self.eps, k2, cb2, residual=residual
+        )
 
 
 class Downsample(nn.Module):

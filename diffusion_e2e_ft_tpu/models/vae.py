@@ -35,6 +35,9 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = SD_LATENT_SCALE
+    # Dispatch resnet GN+SiLU->conv pairs to the fused Pallas kernel on TPU
+    # (kernels/gn_conv.py); identical param tree and math, XLA fallback elsewhere.
+    fused_gn_conv: bool = True
     dtype: str = "float32"
 
     @property
@@ -48,13 +51,14 @@ class _EncoderDown(nn.Module):
     add_downsample: bool
     groups: int
     dtype: jnp.dtype
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for j in range(self.num_layers):
             x = ResnetBlock(
                 self.out_channels, groups=self.groups, eps=1e-6, use_time_emb=False,
-                dtype=self.dtype, name=f"resnets_{j}",
+                fused=self.fused, dtype=self.dtype, name=f"resnets_{j}",
             )(x)
         if self.add_downsample:
             x = Downsample(
@@ -68,12 +72,13 @@ class _Mid(nn.Module):
     channels: int
     groups: int
     dtype: jnp.dtype
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = ResnetBlock(self.channels, groups=self.groups, eps=1e-6, use_time_emb=False, dtype=self.dtype, name="resnets_0")(x)
+        x = ResnetBlock(self.channels, groups=self.groups, eps=1e-6, use_time_emb=False, fused=self.fused, dtype=self.dtype, name="resnets_0")(x)
         x = VAEAttention(self.channels, groups=self.groups, dtype=self.dtype, name="attentions_0")(x)
-        return ResnetBlock(self.channels, groups=self.groups, eps=1e-6, use_time_emb=False, dtype=self.dtype, name="resnets_1")(x)
+        return ResnetBlock(self.channels, groups=self.groups, eps=1e-6, use_time_emb=False, fused=self.fused, dtype=self.dtype, name="resnets_1")(x)
 
 
 class Encoder(nn.Module):
@@ -88,9 +93,10 @@ class Encoder(nn.Module):
             x = _EncoderDown(
                 ch, c.layers_per_block,
                 add_downsample=(i < len(c.block_out_channels) - 1),
-                groups=c.norm_num_groups, dtype=dt, name=f"down_blocks_{i}",
+                groups=c.norm_num_groups, dtype=dt, fused=c.fused_gn_conv,
+                name=f"down_blocks_{i}",
             )(x)
-        x = _Mid(c.block_out_channels[-1], groups=c.norm_num_groups, dtype=dt, name="mid_block")(x)
+        x = _Mid(c.block_out_channels[-1], groups=c.norm_num_groups, dtype=dt, fused=c.fused_gn_conv, name="mid_block")(x)
         x = GroupNormAct(c.norm_num_groups, eps=1e-6, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
 
@@ -101,13 +107,14 @@ class _DecoderUp(nn.Module):
     add_upsample: bool
     groups: int
     dtype: jnp.dtype
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for j in range(self.num_layers):
             x = ResnetBlock(
                 self.out_channels, groups=self.groups, eps=1e-6, use_time_emb=False,
-                dtype=self.dtype, name=f"resnets_{j}",
+                fused=self.fused, dtype=self.dtype, name=f"resnets_{j}",
             )(x)
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -122,13 +129,14 @@ class Decoder(nn.Module):
         c = self.config
         dt = c.jnp_dtype
         x = nn.Conv(c.block_out_channels[-1], (3, 3), padding=1, dtype=dt, name="conv_in")(z)
-        x = _Mid(c.block_out_channels[-1], groups=c.norm_num_groups, dtype=dt, name="mid_block")(x)
+        x = _Mid(c.block_out_channels[-1], groups=c.norm_num_groups, dtype=dt, fused=c.fused_gn_conv, name="mid_block")(x)
         up_channels = tuple(reversed(c.block_out_channels))
         for i, ch in enumerate(up_channels):
             x = _DecoderUp(
                 ch, c.layers_per_block + 1,
                 add_upsample=(i < len(up_channels) - 1),
-                groups=c.norm_num_groups, dtype=dt, name=f"up_blocks_{i}",
+                groups=c.norm_num_groups, dtype=dt, fused=c.fused_gn_conv,
+                name=f"up_blocks_{i}",
             )(x)
         x = GroupNormAct(c.norm_num_groups, eps=1e-6, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)

@@ -32,6 +32,27 @@ class TrainConfig:
     num_data_parallel: int = 1
     # memory
     gradient_checkpointing: bool = True
+    # What the UNet remat SAVES (only meaningful with gradient_checkpointing):
+    #   None     — save nothing: the entire UNet forward is recomputed in the
+    #              backward pass. This is the DEFAULT and the only policy that
+    #              fits v5e HBM at the paper config: fp32 params + Adam state are
+    #              ~10.4 GB, and the frozen-VAE-decoder activations at image
+    #              resolution take the rest (sweep: perf/train_remat_sweep.py —
+    #              "dots"/"dots_all"/no-remat all ResourceExhausted at 480x640
+    #              bs2). Whole-UNet remat is also CHEAP here: UNet activations
+    #              live at latent resolution, ~1.3 TFLOP of a ~35 TFLOP step.
+    #   "dots"   — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    #   "dots_all" — dots_saveable (also keeps batched dots)
+    remat_policy: Optional[str] = None
+    # Rematerialize the frozen-VAE decode (gradients flow through it, so its
+    # GN/SiLU inputs at IMAGE resolution are otherwise saved for the backward
+    # pass — the largest activation block in the step). Measured on v5e at the
+    # paper config (perf/train_remat_sweep.py, one case per process): OFF is
+    # faster — 420.2 ms/step vs 494.4 ms with the extra decode recompute — and
+    # still fits HBM, so False is the default. Keep it available as a memory
+    # lever for larger resolutions/batches: recomputing the decode is exact and
+    # trades ~6 TFLOP for the image-resolution activation block.
+    vae_decode_checkpoint: bool = False
     # GeoWizard joint trainer extras
     ssi_weight: float = 0.5
     angular_weight: float = 1.0

@@ -133,9 +133,7 @@ class GeoWizardTrainer(E2ETrainer):
             noise = self._make_noisy_latents(key_n, geo_latents.shape, timesteps=t2)
             noisy = sched_ops.add_noise(self.schedule, geo_latents, noise, t2)
 
-        apply = self.unet.apply
-        if c.gradient_checkpointing:
-            apply = jax.checkpoint(apply)
+        apply = self._remat(self.unet.apply)
         model_pred = apply(
             {"params": unet_params},
             jnp.concatenate([rgb_latents2, noisy], axis=-1),
@@ -149,9 +147,7 @@ class GeoWizardTrainer(E2ETrainer):
             x0 = sched_ops.pred_original_sample(
                 self.scheduler_config, self.schedule, model_pred.astype(jnp.float32), t2, noisy
             )
-            decoded = self.vae.apply(
-                {"params": frozen["vae"]}, x0 / self.latent_scale, method=self.vae.decode
-            ).astype(jnp.float32)
+            decoded = self._vae_decode(frozen["vae"], x0).astype(jnp.float32)
             depth_dec, normal_dec = decoded[:b], decoded[b:]
 
             depth_est = jnp.clip(jnp.mean(depth_dec, axis=-1), -1.0, 1.0)

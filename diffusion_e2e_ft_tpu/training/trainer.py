@@ -205,6 +205,36 @@ class E2ETrainer:
             )
         raise ValueError(f"Unknown noise type: {nt}")
 
+    def _remat(self, apply):
+        """Wrap a module apply in jax.checkpoint per config.
+
+        Save-nothing (remat_policy=None) is the default: it is the only policy
+        that fits v5e HBM at the paper config (fp32 params + Adam state ~10.4 GB
+        plus frozen-VAE-decoder activations at image resolution — see
+        perf/train_remat_sweep.py), and whole-UNet recompute is cheap because
+        UNet activations live at latent resolution (~1.3 of ~35 TFLOP/step)."""
+        c = self.config
+        if not c.gradient_checkpointing:
+            return apply
+        policies = {
+            None: None,
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "dots_all": jax.checkpoint_policies.dots_saveable,
+        }
+        return jax.checkpoint(apply, policy=policies[c.remat_policy])
+
+    def _vae_decode(self, vae_params, x0: Array) -> Array:
+        """Frozen-VAE decode inside the differentiated graph; rematerialized by
+        default so its image-resolution GN/SiLU inputs are not saved for the
+        backward pass (see TrainConfig.vae_decode_checkpoint)."""
+
+        def decode(p, z):
+            return self.vae.apply({"params": p}, z, method=self.vae.decode)
+
+        if self.config.vae_decode_checkpoint:
+            decode = jax.checkpoint(decode)
+        return decode(vae_params, x0 / self.latent_scale)
+
     def _frozen(self) -> Dict[str, Any]:
         """Non-trainable arrays passed to the jitted step as real arguments."""
         return {"vae": self.vae_params, "empty_text_embed": self.empty_text_embed}
@@ -237,17 +267,13 @@ class E2ETrainer:
             if c.noise_type is not None
             else rgb_latents
         )
-        apply = self.unet.apply
-        if c.gradient_checkpointing:
-            apply = jax.checkpoint(apply)
+        apply = self._remat(self.unet.apply)
         model_pred = apply({"params": unet_params}, unet_in, t, context)
 
         x0 = sched_ops.pred_original_sample(
             self.scheduler_config, self.schedule, model_pred.astype(jnp.float32), t, noisy
         )
-        decoded = self.vae.apply(
-            {"params": frozen["vae"]}, x0 / self.latent_scale, method=self.vae.decode
-        ).astype(jnp.float32)
+        decoded = self._vae_decode(frozen["vae"], x0).astype(jnp.float32)
 
         if c.modality == "depth":
             est = jnp.clip(jnp.mean(decoded, axis=-1), -1.0, 1.0)  # [B,H,W]
