@@ -37,7 +37,10 @@ class VAEConfig:
     scaling_factor: float = SD_LATENT_SCALE
     # Dispatch resnet GN+SiLU->conv pairs to the fused Pallas kernel on TPU
     # (kernels/gn_conv.py); identical param tree and math, XLA fallback elsewhere.
-    fused_gn_conv: bool = True
+    # Default OFF: at 768px inference-decode shapes the fused kernel LOSES to
+    # XLA's fusion chain (measured 10.24 -> 6.26 img/s); it WINS on the training
+    # step (494 -> 420 ms/step), so E2ETrainer turns it on for its own VAE.
+    fused_gn_conv: bool = False
     dtype: str = "float32"
 
     @property

@@ -27,7 +27,7 @@ from diffusion_e2e_ft_tpu.ops import losses as L
 from diffusion_e2e_ft_tpu.ops import scheduler as sched_ops
 from diffusion_e2e_ft_tpu.pipelines.geowizard import switcher_embedding
 from diffusion_e2e_ft_tpu.training.config import TrainConfig
-from diffusion_e2e_ft_tpu.training.trainer import E2ETrainer
+from diffusion_e2e_ft_tpu.training.trainer import E2ETrainer, materialize_frozen
 
 Array = jax.Array
 
@@ -66,7 +66,7 @@ class GeoWizardTrainer(E2ETrainer):
             latent_scale,
         )
         self.image_encoder = image_encoder
-        self.image_encoder_params = jax.tree.map(jnp.asarray, image_encoder_params)
+        self.image_encoder_params = materialize_frozen(image_encoder_params)
         # GeoWizard's pyramid noise draws octave scales r ~ U[1.5, 3]
         # (train_depth_normal.py:290-292) vs Marigold's U[2, 4]
         self._draw_pyramid_bank(base=1.5, spread=1.5)

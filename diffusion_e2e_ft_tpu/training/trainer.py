@@ -24,6 +24,7 @@ compilation. Per-octave gaussians remain per-step `jax.random` draws.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -41,6 +42,15 @@ from diffusion_e2e_ft_tpu.training.config import TrainConfig
 from diffusion_e2e_ft_tpu.training.lr import iter_exponential_schedule
 
 Array = jax.Array
+
+
+def materialize_frozen(tree: Any) -> Any:
+    """jnp.asarray every leaf, passing `jax.ShapeDtypeStruct`s through unchanged
+    so trainers can be constructed with abstract param trees (AOT compile-only
+    validation, e.g. __graft_entry__.dryrun_multichip case 4)."""
+    return jax.tree.map(
+        lambda l: l if isinstance(l, jax.ShapeDtypeStruct) else jnp.asarray(l), tree
+    )
 
 
 class TrainState(NamedTuple):
@@ -66,13 +76,25 @@ class E2ETrainer:
     ):
         self.config = config
         self.unet = unet
+        # The fused GN+SiLU->conv Pallas kernel wins on the training step's
+        # frozen-VAE encode/decode (494 -> 420 ms/step, PERF.md r3) but loses at
+        # 768px inference decode, so it is opted into HERE, not in VAEConfig.
+        # Same param tree and math; XLA fallback everywhere but TPU.
+        if config.fused_vae_kernels and not vae.config.fused_gn_conv:
+            vae = AutoencoderKL(dataclasses.replace(vae.config, fused_gn_conv=True))
         self.vae = vae
         # Frozen parameters are THREADED through the jitted step as arguments
         # (see _frozen / _train_step_jit) — capturing them in the jit closure
         # embeds them as ~334 MB of HLO literals, which bloats the module 30x
         # and (on the axon tunnel) exceeds the remote-compile request limit.
-        self.vae_params = jax.tree.map(jnp.asarray, vae_params)
-        self.empty_text_embed = jnp.asarray(empty_text_embed, jnp.float32)
+        # ShapeDtypeStruct leaves pass through so the constructor also accepts
+        # abstract trees for AOT compile-only validation.
+        self.vae_params = materialize_frozen(vae_params)
+        self.empty_text_embed = (
+            empty_text_embed
+            if isinstance(empty_text_embed, jax.ShapeDtypeStruct)
+            else jnp.asarray(empty_text_embed, jnp.float32)
+        )
         self.scheduler_config = scheduler_config or sched_ops.SchedulerConfig(
             prediction_type=config.prediction_type
         )

@@ -1,9 +1,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_e2e_ft_tpu.models import UNet2DCondition, UNetConfig
 from diffusion_e2e_ft_tpu.tools import activation_diff as AD
+
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
 
 
 def test_capture_and_self_diff(tmp_path):

@@ -17,6 +17,9 @@ from diffusion_e2e_ft_tpu.data.normal_eval import NormalEvalDataset
 from diffusion_e2e_ft_tpu.evaluation import depth_bench, normal_bench
 from diffusion_e2e_ft_tpu.pipelines import GeoWizardPipeline, MarigoldPipeline, loading
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def _make_nyu_fixture(tmp_path, n=2):
     tar_path = str(tmp_path / "nyu.tar")

@@ -11,6 +11,9 @@ import torch
 from diffusion_e2e_ft_tpu.models import clip as C
 from diffusion_e2e_ft_tpu.models.convert import clip_state_dict_to_params
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def _torch_sd(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}

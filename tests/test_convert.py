@@ -1,6 +1,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
 
 from diffusion_e2e_ft_tpu.models import UNet2DCondition, UNetConfig, AutoencoderKL, VAEConfig
 from diffusion_e2e_ft_tpu.models import convert as C

@@ -16,6 +16,9 @@ from diffusion_e2e_ft_tpu.training import checkpoints as C
 
 from test_cli_train import make_tiny_hf_dir
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def test_frozen_tower_subfolders_contract(tmp_path):
     base = tmp_path / "base"

@@ -10,6 +10,9 @@ import importlib
 attn = importlib.import_module("diffusion_e2e_ft_tpu.kernels.attention")
 from diffusion_e2e_ft_tpu.kernels import flash_attention as fa
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode():

@@ -9,6 +9,9 @@ from diffusion_e2e_ft_tpu.pipelines.geowizard import domain_one_hot, switcher_em
 from diffusion_e2e_ft_tpu.training import TrainConfig
 from diffusion_e2e_ft_tpu.training.geowizard import GeoWizardTrainer, latent_valid_mask
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(scope="module")
 def pipe():

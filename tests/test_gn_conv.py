@@ -13,6 +13,9 @@ import torch
 
 from diffusion_e2e_ft_tpu.kernels import gn_conv, groupnorm
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode():

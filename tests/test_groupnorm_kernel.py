@@ -8,6 +8,9 @@ import torch
 
 from diffusion_e2e_ft_tpu.kernels import groupnorm as GN
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode():

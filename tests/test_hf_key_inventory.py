@@ -30,6 +30,9 @@ from diffusion_e2e_ft_tpu.models import (
 )
 from diffusion_e2e_ft_tpu.tools import hf_key_inventory as HK
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 FIXTURE_DIR = "tests/fixtures/hf_keys"
 
 

@@ -6,11 +6,15 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_e2e_ft_tpu.models import UNetConfig, VAEConfig
 from diffusion_e2e_ft_tpu.ops import scheduler as S
 from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 from diffusion_e2e_ft_tpu.pipelines import loading
+
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
 
 
 def test_config_translations_roundtrip():

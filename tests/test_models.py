@@ -11,6 +11,9 @@ from diffusion_e2e_ft_tpu.models import (
 )
 from diffusion_e2e_ft_tpu.models.layers import timestep_embedding
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def tiny_vae():
     return AutoencoderKL(

@@ -4,6 +4,9 @@ import pytest
 
 from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(scope="module")
 def pipe():

@@ -4,6 +4,9 @@ import pytest
 
 from diffusion_e2e_ft_tpu.ops import scheduler as S
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def cfg(**kw):
     return S.SchedulerConfig(**kw)

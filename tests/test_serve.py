@@ -14,6 +14,9 @@ from PIL import Image
 from diffusion_e2e_ft_tpu.cli.serve import PipelineService, serve
 from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 @pytest.fixture(scope="module")
 def server_url():

@@ -32,6 +32,8 @@ from diffusion_e2e_ft_tpu.models.layers import (
     timestep_embedding,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
 torch.manual_seed(0)
 
 

@@ -13,6 +13,9 @@ from diffusion_e2e_ft_tpu.parallel import make_mesh
 from diffusion_e2e_ft_tpu.training import E2ETrainer, TrainConfig
 from diffusion_e2e_ft_tpu.training.lr import iter_exponential_schedule
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def make_models(in_channels=8):
     ucfg = UNetConfig.tiny(in_channels=in_channels)

@@ -19,6 +19,9 @@ from diffusion_e2e_ft_tpu.training import E2ETrainer, TrainConfig
 from diffusion_e2e_ft_tpu.training import checkpoints as C
 from diffusion_e2e_ft_tpu.training.loop import run_training
 
+pytestmark = pytest.mark.slow  # compile-heavy: keeps the "not slow" tier < 5 min
+
+
 
 def _setup(tmp_path, max_steps=3):
     ucfg = UNetConfig.tiny()
