@@ -26,9 +26,11 @@ import os
 import tempfile
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import jax
+
+# the container sitecustomize pins the axon TPU plugin; env vars cannot override
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,8 +87,8 @@ def run(out_path: str, image_hw=(192, 256)) -> int:
     rgb = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
     latent = jnp.asarray(rng.normal(size=(1, h // 8, w // 8, 4)).astype(np.float32))
     t = jnp.asarray([999], jnp.int32)
-    ctx_a = jnp.asarray(pipe.empty_text_embed)
-    ctx_b = jnp.asarray(pipe2.empty_text_embed)
+    ctx_a = jnp.asarray(pipe.params["empty_text_embed"], jnp.float32)
+    ctx_b = jnp.asarray(pipe2.params["empty_text_embed"], jnp.float32)
     unet_in = jnp.concatenate([latent, latent], axis=-1)
 
     # 1. empty-text embedding recomputed from the exported tower

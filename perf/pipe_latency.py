@@ -13,7 +13,10 @@ Run on the chip:  python perf/pipe_latency.py  ->  one PERF.md-ready table row.
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

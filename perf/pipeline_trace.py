@@ -32,6 +32,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     which = sys.argv[1] if len(sys.argv) > 1 else "depth"
+    # E2EFT_TRACE_FUSED=1 traces the fused gn_conv VAE variant (A/B evidence)
+    fused = os.environ.get("E2EFT_TRACE_FUSED") == "1"
     res = sys.argv[2] if len(sys.argv) > 2 else "768x768"
     h, w = (int(v) for v in res.lower().split("x"))
 
@@ -47,7 +49,7 @@ def main():
         from diffusion_e2e_ft_tpu.pipelines import MarigoldPipeline
 
         pipe = MarigoldPipeline.from_random(
-            jax.random.key(0), unet_config=UNetConfig(), vae_config=VAEConfig(),
+            jax.random.key(0), unet_config=UNetConfig(), vae_config=VAEConfig(fused_gn_conv=fused),
             scheduler_config=S.SchedulerConfig(), dtype=dtype,
         )
         fn = lambda: pipe._infer_jit(pipe.params, rgb, 1, False, latent0)  # noqa: E731
@@ -57,7 +59,7 @@ def main():
         from diffusion_e2e_ft_tpu.pipelines.geowizard import domain_one_hot
 
         pipe = GeoWizardPipeline.from_random(
-            jax.random.key(0), unet_config=UNetConfig.geowizard(), vae_config=VAEConfig(),
+            jax.random.key(0), unet_config=UNetConfig.geowizard(), vae_config=VAEConfig(fused_gn_conv=fused),
             vision_config=CLIPVisionConfig(),
             scheduler_config=S.SchedulerConfig(prediction_type="v_prediction"), dtype=dtype,
         )

@@ -145,7 +145,12 @@ def device_op_times(trace_dir: str) -> Dict[str, float]:
         ]
     totals: Dict[str, float] = defaultdict(float)
     for pname, lines, meta in device:
-        oplines = [(n, ev) for n, ev in lines if "XLA Ops" in n]
+        # EXACT line match: the device plane also carries an 'Async XLA Ops' line
+        # whose events (DMA copy-start spans etc.) OVERLAP the compute line —
+        # summing both over-reports device time ~4x (364 "ms" vs 94 real)
+        oplines = [(n, ev) for n, ev in lines if n == "XLA Ops"]
+        if not oplines:
+            oplines = [(n, ev) for n, ev in lines if "XLA Ops" in n and "Async" not in n]
         if not oplines:
             oplines = lines
         for _, events in oplines:
