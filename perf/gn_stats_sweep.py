@@ -119,6 +119,25 @@ VARIANTS = {
 }
 
 
+def gn_silu_4d(x4, scale, bias):
+    """Stats reduced on the 4D NHWC tensor directly (axis=(1,2)) — no [B,N,C]
+    reshape, which may be what forces the retiled bf16 copy in the tuple fusion."""
+    b, h, w, c = x4.shape
+    gs = c // GROUPS
+    xf = x4.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(1, 2))
+    ss = jnp.sum(xf * xf, axis=(1, 2))
+    count = jnp.float32(h * w * gs)
+    mean_g = s.reshape(b, GROUPS, gs).sum(-1) / count
+    var_g = jnp.maximum(ss.reshape(b, GROUPS, gs).sum(-1) / count - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + EPS)
+    mean_c = jnp.repeat(mean_g, gs, axis=-1)[:, None, None, :]
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)[:, None, None, :]
+    out = (xf - mean_c) * inv_c * scale + bias
+    out = out * jax.nn.sigmoid(out)
+    return out.astype(x4.dtype)
+
+
 def gn_silu(x4, scale, bias, stats_fn):
     b, h, w, c = x4.shape
     gs = c // GROUPS
@@ -154,6 +173,42 @@ def make_sandwich(stats_fn):
     return f
 
 
+def make_sandwich_4d():
+    @jax.jit
+    def f(x, w1, w2, sc1, bi1, sc2, bi2):
+        h = gn_silu_4d(x, sc1, bi1)
+        h = conv3x3(h, w1)
+        h = gn_silu_4d(h, sc2, bi2)
+        h = conv3x3(h, w2)
+        return x + h
+
+    return f
+
+
+def bandwidth_controls(x):
+    """Calibration: best-case device times for (a) a pure streaming read-reduce of
+    x and (b) read+elementwise-write, to anchor what 'stats at HBM rate' means."""
+    b, h, w, c = x.shape
+    nbytes = x.size * x.dtype.itemsize
+
+    @jax.jit
+    def read_reduce(x):
+        return jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
+
+    @jax.jit
+    def read_write(x):
+        return x * jnp.bfloat16(1.0001)
+
+    for name, fn, traffic in (
+        ("read-reduce", read_reduce, nbytes),
+        ("read+write", read_write, 2 * nbytes),
+    ):
+        times = trace_device_times(functools.partial(fn, x), iters=10)
+        total = sum(times.values())
+        gbps = traffic / total / 1e9 if total else float("inf")
+        print(f"  control {name:12s} {total*1e3:7.3f} ms  ->  {gbps:6.0f} GB/s", flush=True)
+
+
 def main():
     shapes = sys.argv[1:] or ["1x768x768x128", "1x384x384x256"]
     rng = np.random.default_rng(0)
@@ -166,9 +221,10 @@ def main():
         sc1 = jnp.ones((c,), jnp.float32)
         bi1 = jnp.zeros((c,), jnp.float32)
         print(f"\n=== sandwich {spec} (bf16, {GROUPS} groups) ===", flush=True)
+        bandwidth_controls(x)
         ref = None
-        for name, stats_fn in VARIANTS.items():
-            fn = make_sandwich(stats_fn)
+        for name, stats_fn in list(VARIANTS.items()) + [("fourd", None)]:
+            fn = make_sandwich_4d() if name == "fourd" else make_sandwich(stats_fn)
             try:
                 times = trace_device_times(
                     functools.partial(fn, x, w1, w2, sc1, bi1, sc1, bi1), iters=10

@@ -70,6 +70,16 @@ def main():
     for _ in range(3):
         call()
     iters = 10
+    if os.environ.get("E2EFT_PIPE_PROFILE") == "1":
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        prof.enable()
+        for _ in range(iters):
+            out = call()
+        prof.disable()
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = call()
