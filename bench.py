@@ -23,16 +23,35 @@ BASELINE = {
 }
 
 
+def _sync(x):
+    """True device sync: fetch ONE element via a device-side slice.
+
+    Through the axon dev-tunnel `block_until_ready` can ack EARLY (a 4096^3
+    bf16 matmul 'measured' 6464 TFLOP/s on a 197 TFLOP/s chip, PERF.md r4);
+    a data-dependent scalar fetch is a real barrier in both environments.
+    The device-side index keeps the fetch at 4 bytes — np.asarray(x) would
+    pull the whole buffer through the ~50 MB/s tunnel."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf[(0,) * leaf.ndim]).ravel()[0])
+
+
 def _timeit(fn, iters=10, warmup=3):
     out = fn()
-    out.block_until_ready()
+    _sync(out)
     for _ in range(warmup):
-        fn().block_until_ready()
+        out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    _sync(out)  # measure the dispatch->fetch roundtrip constant on a ready value
+    roundtrip = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+    return max((time.perf_counter() - t0 - roundtrip) / iters, 1e-9)
 
 
 def _resolution():

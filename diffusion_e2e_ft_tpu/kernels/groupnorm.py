@@ -193,6 +193,19 @@ def group_norm_silu(
     else:
         x3 = x
     c = x3.shape[-1]
+    ablate = os.environ.get("E2EFT_GN_ABLATE")
+    if ablate:
+        # MEASUREMENT-ONLY cost decomposition (perf/gn_stats_sweep.py, PERF.md r4):
+        # 'const' keeps the normalize+affine(+SiLU) apply but skips the stats
+        # pass; 'none' removes GroupNorm entirely. Output values are wrong.
+        if ablate == "none":
+            return x
+        if ablate == "const":
+            xf = x3.astype(jnp.float32)
+            out = (xf - 0.1) * 1.01 * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            if silu:
+                out = out * jax.nn.sigmoid(out)
+            return out.astype(x.dtype).reshape(orig_shape)
     usable = (
         _use_pallas()
         and c % groups == 0

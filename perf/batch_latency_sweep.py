@@ -50,16 +50,16 @@ def batch_sweep(pipe):
             rgb = jnp.asarray(rng.uniform(-1, 1, (bs, res, res, 3)).astype(np.float32))
             lat = jnp.zeros((bs, res // 8, res // 8, 4), jnp.float32)
             try:
-                out = pipe._infer_jit(pipe.params, rgb, 1, False, lat)
-                out.block_until_ready()
-                for _ in range(2):
-                    pipe._infer_jit(pipe.params, rgb, 1, False, lat).block_until_ready()
-                iters = max(1, 8 // bs)
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = pipe._infer_jit(pipe.params, rgb, 1, False, lat)
-                out.block_until_ready()
-                ms = (time.perf_counter() - t0) / iters / bs * 1e3
+                # bench._timeit syncs via a device-side scalar fetch (the tunnel
+                # acks block_until_ready early) and subtracts the roundtrip
+                from bench import _timeit
+
+                dt = _timeit(
+                    lambda: pipe._infer_jit(pipe.params, rgb, 1, False, lat),
+                    iters=max(2, 8 // bs),
+                    warmup=2,
+                )
+                ms = dt / bs * 1e3
                 row.append(f"bs{bs}: {ms:7.1f}")
             except Exception as e:
                 row.append(f"bs{bs}: OOM({type(e).__name__})")

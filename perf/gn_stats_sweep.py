@@ -30,6 +30,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, "/root/repo")
 from xprof import bucket, trace_device_times  # noqa: E402
 
+
+_ROUNDTRIP_S = 0.026  # measured axon-tunnel dispatch->fetch constant (PERF.md r4)
+
+
+def chained_seconds(step_fn, x0, iters: int = 30, warmup: int = 3) -> float:
+    """Per-iteration device time via ITERS data-DEPENDENT applications of
+    step_fn (x -> same-shaped x) ended by a scalar fetch.
+
+    Through the axon tunnel `block_until_ready` acks EARLY (a 4096^3 bf16 matmul
+    'measured' 6464 TFLOP/s on a 197 TFLOP/s chip), and profiler sessions can
+    wedge >14 min — so neither async-amortized walls nor traces are usable.
+    Chaining forces serial device execution and the final element fetch is a
+    true sync; calibration: chained 4096^3 matmul = 167.7 TFLOP/s (85% peak)."""
+    import time
+
+    import numpy as np
+
+    def sync_scalar(x):
+        # fetch ONE element (device-side slice first): np.asarray(x) would pull
+        # the whole buffer through the ~50 MB/s tunnel and dominate the timing
+        leaf = jax.tree.leaves(x)[0]
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
+
+    x = x0
+    for _ in range(warmup):
+        x = step_fn(x)
+    sync_scalar(x)
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step_fn(x)
+    sync_scalar(x)
+    return max((time.perf_counter() - t0 - _ROUNDTRIP_S) / iters, 0.0)
+
 GROUPS = 32
 EPS = 1e-6
 
@@ -173,6 +207,28 @@ def make_sandwich(stats_fn):
     return f
 
 
+def make_sandwich_ablation(mode: str):
+    """Cost decomposition: 'conv_only' drops GN entirely; 'no_stats' keeps the
+    normalize+affine+SiLU apply but with constant mean/inv (no stats pass). Then
+    stats cost = full - no_stats, apply cost = no_stats - conv_only."""
+
+    def gn_apply_const(x4, scale, bias):
+        xf = x4.astype(jnp.float32)
+        out = (xf - 0.1) * 1.01 * scale + bias
+        out = out * jax.nn.sigmoid(out)
+        return out.astype(x4.dtype)
+
+    @jax.jit
+    def f(x, w1, w2, sc1, bi1, sc2, bi2):
+        h = x if mode == "conv_only" else gn_apply_const(x, sc1, bi1)
+        h = conv3x3(h, w1)
+        h = h if mode == "conv_only" else gn_apply_const(h, sc2, bi2)
+        h = conv3x3(h, w2)
+        return x + h
+
+    return f
+
+
 def make_sandwich_4d():
     @jax.jit
     def f(x, w1, w2, sc1, bi1, sc2, bi2):
@@ -186,27 +242,29 @@ def make_sandwich_4d():
 
 
 def bandwidth_controls(x):
-    """Calibration: best-case device times for (a) a pure streaming read-reduce of
-    x and (b) read+elementwise-write, to anchor what 'stats at HBM rate' means."""
-    b, h, w, c = x.shape
+    """Calibration anchors, both chainable (x -> x):
+    (a) copy: read+write of x;  (b) reduce+copy: (a) plus a streaming stats-style
+    fp32 reduce over (H, W). Their DIFFERENCE is the marginal cost of a
+    bandwidth-optimal stats pass at this shape."""
     nbytes = x.size * x.dtype.itemsize
 
     @jax.jit
-    def read_reduce(x):
-        return jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
-
-    @jax.jit
-    def read_write(x):
+    def copy(x):
         return x * jnp.bfloat16(1.0001)
 
-    for name, fn, traffic in (
-        ("read-reduce", read_reduce, nbytes),
-        ("read+write", read_write, 2 * nbytes),
-    ):
-        times = trace_device_times(functools.partial(fn, x), iters=10)
-        total = sum(times.values())
-        gbps = traffic / total / 1e9 if total else float("inf")
-        print(f"  control {name:12s} {total*1e3:7.3f} ms  ->  {gbps:6.0f} GB/s", flush=True)
+    @jax.jit
+    def reduce_copy(x):
+        s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
+        return x + (jnp.float32(1e-6) * s[:, None, None, :]).astype(x.dtype)
+
+    t_copy = chained_seconds(copy, x)
+    t_rc = chained_seconds(reduce_copy, x)
+    print(
+        f"  control copy         {t_copy*1e3:7.3f} ms  ({2*nbytes/t_copy/1e9:5.0f} GB/s)   "
+        f"reduce+copy {t_rc*1e3:7.3f} ms  -> marginal stats read {max(t_rc-t_copy,0)*1e3:6.3f} ms "
+        f"({nbytes/max(t_rc-t_copy,1e-9)/1e9:5.0f} GB/s)",
+        flush=True,
+    )
 
 
 def main():
@@ -223,28 +281,39 @@ def main():
         print(f"\n=== sandwich {spec} (bf16, {GROUPS} groups) ===", flush=True)
         bandwidth_controls(x)
         ref = None
-        for name, stats_fn in list(VARIANTS.items()) + [("fourd", None)]:
-            fn = make_sandwich_4d() if name == "fourd" else make_sandwich(stats_fn)
+        extra = [("fourd", None), ("conv_only", None), ("no_stats", None)]
+        for name, stats_fn in list(VARIANTS.items()) + extra:
+            if name == "fourd":
+                fn = make_sandwich_4d()
+            elif name in ("conv_only", "no_stats"):
+                fn = make_sandwich_ablation(name)
+            else:
+                fn = make_sandwich(stats_fn)
+            part = functools.partial(fn, w1=w1, w2=w2, sc1=sc1, bi1=bi1, sc2=sc1, bi2=bi1)
             try:
-                times = trace_device_times(
-                    functools.partial(fn, x, w1, w2, sc1, bi1, sc1, bi1), iters=10
-                )
+                if os.environ.get("E2EFT_SWEEP_TRACE") == "1":
+                    times = trace_device_times(functools.partial(part, x), iters=10)
+                    total = sum(times.values())
+                    bk = bucket(times)
+                    detail = (
+                        f"conv/cc {(bk.get('conv',0)+bk.get('custom-call',0))*1e3:7.3f} ms  "
+                        f"fusion {bk.get('fusion',0)*1e3:7.3f} ms  "
+                        f"copy {bk.get('copy/transpose',0)*1e3:6.3f} ms  "
+                    )
+                else:
+                    total = chained_seconds(part, x)
+                    detail = ""
             except Exception as e:
                 print(f"  {name:10s} FAILED: {e}", flush=True)
                 continue
-            total = sum(times.values())
-            bk = bucket(times)
-            conv = bk.get("conv", 0.0) + bk.get("custom-call", 0.0)
-            out = fn(x, w1, w2, sc1, bi1, sc1, bi1)
+            out = part(x)
             if ref is None:
                 ref = out
                 err = 0.0
             else:
                 err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
             print(
-                f"  {name:10s} total {total*1e3:7.3f} ms  conv/cc {conv*1e3:7.3f} ms  "
-                f"fusion {bk.get('fusion',0)*1e3:7.3f} ms  copy {bk.get('copy/transpose',0)*1e3:6.3f} ms  "
-                f"maxerr {err:.4f}",
+                f"  {name:10s} total {total*1e3:7.3f} ms  {detail}maxerr {err:.4f}",
                 flush=True,
             )
 
