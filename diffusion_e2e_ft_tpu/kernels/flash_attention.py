@@ -21,6 +21,7 @@ backward.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -42,6 +43,9 @@ INTERPRET = False
 
 
 def _pick_block_k(lk: int) -> Optional[int]:
+    env = os.environ.get("E2EFT_FA_BK")  # perf-sweep override (trace-time)
+    if env and lk % int(env) == 0:
+        return int(env)
     for c in _KV_CHUNKS:
         if lk % c == 0:
             return c
