@@ -32,27 +32,60 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _BLOCK_Q = 256
-# Preference order for the KV block: an on-chip trace sweep at the SD2 level-0
-# shape ([5, 9216, 64]) measured 1024 fastest (1.54 ms vs 2.71 at 512, 1.76x),
-# and the same on GeoWizard's joint KV ([10, 9216x2, 64]: 6.2 ms vs 11.0).
-# Smaller chunks remain for sequence lengths 1024 doesn't divide.
-_KV_CHUNKS = (1024, 1536, 512, 384, 256, 192, 128)
+# Preference order for the KV block. On-chip sweeps at the SD2 level-0 shape
+# ([5, 9216, 64], `perf/hotops_sweep.py` exp A): (bq, bk) = (1536, 1536) runs
+# 1.494 ms vs 2.173 at the old (1024, 1024) default — fewer grid programs
+# (36/head vs 81) amortize the per-program prologue that dominates at small
+# head dims, and 1536² still fits the 16 MB scoped-VMEM limit (2304² does not).
+# 1024 remains next (r2 sweep: 1.54 ms vs 2.71 at 512 on the same shape);
+# smaller chunks remain for sequence lengths the big blocks don't divide.
+_KV_CHUNKS = (1536, 1024, 768, 512, 384, 256, 192, 128)
+# At d > 64 (the VAE's single 512-dim head) the K/V blocks are 8x wider in VMEM
+# and the grid already has few programs, so the 1536 preference is unmeasured
+# upside with real OOM risk — keep the r2-swept 1024-first order there.
+_KV_CHUNKS_WIDE = (1024, 768, 512, 384, 256, 192, 128)
 
 # CPU tests flip this to run the kernel under the Pallas interpreter
 INTERPRET = False
 
 
-def _pick_block_k(lk: int) -> Optional[int]:
+def _pick_block_k(lk: int, d: int = 64) -> Optional[int]:
+    """Pick the KV block. Exact divisors are preferred (no wasted programs);
+    when the best exact divisor is small (< 512 — e.g. the 480x640 train
+    sequence L=4800 only divides by 192), KV is instead zero-PADDED to the next
+    multiple of a big block and the kernels mask the padded columns to -inf
+    (exact math, bounded waste) — per-program prologue dominates at small head
+    dims, so 5 padded 1024-programs beat 25 exact 192-programs."""
     env = os.environ.get("E2EFT_FA_BK")  # perf-sweep override (trace-time)
-    if env and lk % int(env) == 0:
+    if env:
         return int(env)
-    for c in _KV_CHUNKS:
-        if lk % c == 0:
-            return c
-    return None
+    chunks = _KV_CHUNKS if d <= 64 else _KV_CHUNKS_WIDE
+    exact = next((c for c in chunks if lk % c == 0), None)
+    if exact is not None and exact >= 512:
+        return exact
+    # padded candidates: fewest programs first, bounded waste, tie -> big block
+    best = None
+    for c in (1536, 1024) if d <= 64 else (1024,):
+        pad = (-lk) % c
+        if lk >= c and pad / (lk + pad) <= 0.20:
+            cand = (-(-lk // c), -c, c)
+            if best is None or cand < best:
+                best = cand
+    if best is not None:
+        return best[2]
+    return exact
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float):
+def _default_bq(lq: int, d: int) -> int:
+    """Taller Q blocks restore MXU occupancy at small head dims; 1536 only when
+    it divides Lq (padding a 4800-token train sequence to 6144 wastes 28%)."""
+    if d > 64:
+        return _BLOCK_Q
+    return 1536 if lq % 1536 == 0 else 1024
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float,
+                  kv_len: Optional[int] = None):
     """Grid (bn, qi, ki), ki innermost. Scratch (m, l, acc) carries the online
     softmax across ki; o is written at the last ki.
 
@@ -77,6 +110,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [block_q, block_k] fp32
+    s = _mask_padded_cols(s, ki, kv_len)
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -93,26 +127,48 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _mask_padded_cols(s, ki, kv_len: Optional[int]):
+    """-inf the logit columns beyond the real KV length (zero-padded K rows
+    would otherwise contribute exp(0-m) to the softmax denominator). kv_len is
+    trace-time static: the exact-divisor path compiles with no masking at all;
+    only the final, partially-padded block pays the select."""
+    if kv_len is None:
+        return s
+    block_k = s.shape[-1]
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < kv_len, s, -jnp.inf)
+
+
+def _pad_kv(k: Array, v: Array, block_k: int):
+    """Zero-pad K/V length to a block_k multiple; returns (k, v, lk_padded,
+    kv_len) where kv_len is the real length when padded, else None (the kernels
+    compile with no masking at all on the exact-divisor path)."""
+    lk = k.shape[1]
+    pad_k = (-lk) % block_k
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+    return k, v, lk + pad_k, (lk if pad_k else None)
+
+
 def _flash_bnld(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Array:
-    """[BN, Lq, D] x [BN, Lk, D] -> [BN, Lq, D]. block_k must divide Lk."""
+    """[BN, Lq, D] x [BN, Lk, D] -> [BN, Lq, D]. KV is zero-padded to a block_k
+    multiple and masked in-kernel when block_k does not divide Lk."""
     import os
 
     bn, lq, d = q.shape
-    lk = k.shape[1]
-    # small head dims leave MXU rows idle; a taller Q block restores occupancy
-    # (trace sweep: 1024 beats 512 by another ~5% at d=64)
-    default_bq = 1024 if d <= 64 else _BLOCK_Q
-    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", _default_bq(lq, d))), lq)
 
     pad_q = (-lq) % block_q
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
     lq_p = lq + pad_q
+    k, v, lk_p, kv_len = _pad_kv(k, v, block_k)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len),
         out_shape=jax.ShapeDtypeStruct((bn, lq_p, d), q.dtype),
-        grid=(bn, lq_p // block_q, lk // block_k),
+        grid=(bn, lq_p // block_q, lk_p // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -136,7 +192,8 @@ def _flash_bnld(q: Array, k: Array, v: Array, scale: float, block_k: int) -> Arr
     return out
 
 
-def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
+                      scale: float, kv_len: Optional[int] = None):
     """Forward that also writes per-row log-sum-exp (the backward residual)."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -153,6 +210,7 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _mask_padded_cols(s, ki, kv_len)
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -175,21 +233,20 @@ def _flash_bnld_lse(q: Array, k: Array, v: Array, scale: float, block_k: int):
     import os
 
     bn, lq, d = q.shape
-    lk = k.shape[1]
-    default_bq = 1024 if d <= 64 else _BLOCK_Q
-    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", _default_bq(lq, d))), lq)
     pad_q = (-lq) % block_q
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
     lq_p = lq + pad_q
+    k, v, lk_p, kv_len = _pad_kv(k, v, block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel_lse, scale=scale),
+        functools.partial(_flash_kernel_lse, scale=scale, kv_len=kv_len),
         out_shape=(
             jax.ShapeDtypeStruct((bn, lq_p, d), q.dtype),
             jax.ShapeDtypeStruct((bn, lq_p, 1), jnp.float32),
         ),
-        grid=(bn, lq_p // block_q, lk // block_k),
+        grid=(bn, lq_p // block_q, lk_p // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -215,7 +272,8 @@ def _flash_bnld_lse(q: Array, k: Array, v: Array, scale: float, block_k: int):
     return out, lse
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref, *, scale: float):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref, *,
+               scale: float, kv_len: Optional[int] = None):
     """Grid (bn, qi, ki), ki innermost: dq[qi] += (p ∘ (dO·Vᵀ − Δ)) · K · scale."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -231,6 +289,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref, *,
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _mask_padded_cols(s, ki, kv_len)
     p = jnp.exp(s - lse_ref[0])  # [bq, bk], lse broadcasts from [bq, 1]
     dp = jax.lax.dot_general(
         do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -247,7 +306,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, acc_ref, *,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale: float):
+                dk_acc, dv_acc, *, scale: float, kv_len: Optional[int] = None):
     """Grid (bn, ki, qi), qi innermost: dv[ki] += pᵀ·dO; dk[ki] += dsᵀ·Q·scale."""
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -264,6 +323,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    s = _mask_padded_cols(s, pl.program_id(1), kv_len)
     p = jnp.exp(s - lse_ref[0])  # [bq, bk]
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -292,8 +352,7 @@ def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
 
     bn, lq, d = q.shape
     lk = k.shape[1]
-    default_bq = 1024 if d <= 64 else _BLOCK_Q
-    block_q = min(int(os.environ.get("E2EFT_FA_BQ", default_bq)), lq)
+    block_q = min(int(os.environ.get("E2EFT_FA_BQ", _default_bq(lq, d))), lq)
     pad_q = (-lq) % block_q
 
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
@@ -303,15 +362,16 @@ def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
         lse = jnp.pad(lse, ((0, 0), (0, pad_q), (0, 0)))
         dd = jnp.pad(dd, ((0, 0), (0, pad_q), (0, 0)))
     lq_p = lq + pad_q
+    k, v, lk_p, kv_len = _pad_kv(k, v, block_k)
 
     q_spec_qk = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     k_spec_qk = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
     r_spec_qk = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale),
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len),
         out_shape=jax.ShapeDtypeStruct((bn, lq_p, d), q.dtype),
-        grid=(bn, lq_p // block_q, lk // block_k),
+        grid=(bn, lq_p // block_q, lk_p // block_k),
         in_specs=[q_spec_qk, k_spec_qk, k_spec_qk, q_spec_qk, r_spec_qk, r_spec_qk],
         out_specs=q_spec_qk,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -326,12 +386,12 @@ def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
     r_spec_kq = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale),
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len),
         out_shape=(
-            jax.ShapeDtypeStruct((bn, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((bn, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((bn, lk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, lk_p, d), v.dtype),
         ),
-        grid=(bn, lk // block_k, lq_p // block_q),
+        grid=(bn, lk_p // block_k, lq_p // block_q),
         in_specs=[q_spec_kq, k_spec_kq, k_spec_kq, q_spec_kq, r_spec_kq, r_spec_kq],
         out_specs=(k_spec_kq, k_spec_kq),
         scratch_shapes=[
@@ -346,6 +406,9 @@ def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
 
     if pad_q:
         dq = dq[:, :lq]
+    if kv_len is not None:
+        dk = dk[:, :lk]
+        dv = dv[:, :lk]
     return dq, dk, dv
 
 
@@ -413,12 +476,12 @@ def flash_attention(
     q: Array, k: Array, v: Array, *, scale: Optional[float] = None
 ) -> Array:
     """[B, L, N, D] multi-head attention; raises for unsupported shapes so the
-    caller's dispatch falls back to XLA (head_dim > 512, KV not divisible by a
-    supported chunk, or sequences too short to benefit)."""
+    caller's dispatch falls back to XLA (head_dim > 512, KV too short for any
+    block, or sequences too short to benefit)."""
     d = q.shape[-1]
     lk = k.shape[1]
     s = scale if scale is not None else d**-0.5
-    block_k = _pick_block_k(lk)
+    block_k = _pick_block_k(lk, d)
     if d > 512 or block_k is None or q.shape[1] < 256:
         raise ValueError("shape outside the Pallas flash-attention envelope")
     return _flash_btnh(q, k, v, s, block_k)

@@ -207,3 +207,41 @@ class TestEnvelope:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
         finally:
             attn.set_backend(None)
+
+
+class TestPaddedKV:
+    """KV zero-padding + in-kernel -inf column masking (block_k need not divide
+    Lk): exact vs the XLA reference in both forward and backward."""
+
+    def test_padded_kv_forward(self):
+        q, k, v = _mk(1, 256, 2, 64, lk=600, seed=20)
+        out = fa._flash_btnh(q, k, v, 64**-0.5, 256)  # 600 -> 768 (3 blocks)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_padded_kv_grads(self):
+        q, k, v = _mk(1, 256, 2, 64, lk=600, seed=21)
+
+        def loss(q, k, v):
+            o = fa._flash_btnh(q, k, v, 64**-0.5, 256)
+            return jnp.sum(o * jnp.cos(q[..., :1]))
+
+        def ref_loss(q, k, v):
+            return jnp.sum(attn._xla_attention(q, k, v, 64**-0.5) * jnp.cos(q[..., :1]))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+    def test_picker_policy(self):
+        """Measured preferences (perf/hotops_sweep.py exp A) + padded fallbacks."""
+        assert fa._pick_block_k(9216, 64) == 1536   # exact, swept winner
+        assert fa._pick_block_k(18432, 64) == 1536  # GeoWizard joint
+        assert fa._pick_block_k(2304, 64) == 768    # exact, 3 programs
+        assert fa._pick_block_k(9216, 512) == 1024  # VAE head: wide chunks
+        assert fa._pick_block_k(4800, 64) == 1024   # train seq: pad 4800->5120
+        assert fa._pick_block_k(9600, 64) == 1536   # joint train: pad ->10752
+        assert fa._pick_block_k(576, 64) == 192     # small: exact beats waste
+        assert fa._pick_block_k(77, 64) is None     # cross-attn: XLA fallback
+        assert fa._pick_block_k(300, 64) is None
