@@ -57,7 +57,12 @@ def _pick_block_k(lk: int, d: int = 64) -> Optional[int]:
     (exact math, bounded waste) — per-program prologue dominates at small head
     dims, so 5 padded 1024-programs beat 25 exact 192-programs."""
     env = os.environ.get("E2EFT_FA_BK")  # perf-sweep override (trace-time)
-    if env:
+    if env and lk >= int(env):
+        # honored only when KV is at least one block long: a process-wide
+        # override must not make CROSS-attention (Lk=77) zero-pad to a full
+        # self-attention block (~95% wasted columns) during kernel sweeps
+        # (ADVICE r4). Sweeps that need sub-length blocks call the kernel
+        # directly with an explicit block_k.
         return int(env)
     chunks = _KV_CHUNKS if d <= 64 else _KV_CHUNKS_WIDE
     exact = next((c for c in chunks if lk % c == 0), None)
@@ -353,6 +358,15 @@ def _flash_bwd_bnld(q, k, v, do, out, lse, scale: float, block_k: int):
     bn, lq, d = q.shape
     lk = k.shape[1]
     block_q = min(int(os.environ.get("E2EFT_FA_BQ", _default_bq(lq, d))), lq)
+    # ADVICE r4 (medium): the backward kernels keep several [bq, bk] fp32
+    # temporaries live (s, p, dp, ds) — the 1536^2 blocks that fit the FORWARD's
+    # VMEM envelope exceed the 16 MB scoped limit when differentiated, and the
+    # failure is an XLA-compile-time Mosaic error outside attention.py's
+    # trace-time fallback. The backward's blocks need not match the forward's
+    # (s/p are recomputed from q/k/lse under any partition), so cap both at the
+    # r3-training-validated 1024. K/V are re-padded below for the capped block.
+    block_q = min(block_q, 1024)
+    block_k = min(block_k, 1024)
     pad_q = (-lq) % block_q
 
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)

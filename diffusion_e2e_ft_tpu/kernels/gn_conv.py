@@ -206,8 +206,179 @@ def _pallas_gn_conv(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias):
     )(ab, x, x, x, wk, bias2)
 
 
+def _conv_kernel_v2(sb_ref, gmask_ref, xm_ref, xt_ref, xb_ref, w_ref, bias_ref,
+                    out_ref, act_ref, stats_ref, ab_ref, *, br: int, width: int,
+                    cout: int, silu: bool, out_dtype, eps: float, count: float):
+    """Two-phase grid (b, 2*nb), sequential: steps [0, nb) stream per-channel
+    fp32 [sum, sum_sq] into scratch; step nb folds channels->groups (one tiny
+    [2,C]@[C,C] group-mask dot) into per-channel a/b; steps [nb, 2*nb) run the
+    v1 normalize+SiLU+conv body off the scratch a/b. One pallas_call = no XLA
+    stats boundary at all (the r2/r4 trace chain: every opaque op BETWEEN XLA
+    fusions triggered layout wars; here stats/normalize/conv share the call)."""
+    s = pl.program_id(1)
+    nb = pl.num_programs(1) // 2
+    wp = width + 2
+
+    @pl.when(s == 0)
+    def _():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when(s < nb)
+    def _():
+        xf = xm_ref[0].astype(jnp.float32).reshape(br * width, -1)
+        ssum = jnp.sum(xf, axis=0, keepdims=True)
+        ssq = jnp.sum(xf * xf, axis=0, keepdims=True)
+        stats_ref[:] = stats_ref[:] + jnp.concatenate([ssum, ssq], axis=0)
+
+    @pl.when(s == nb)
+    def _():
+        # per-channel group moments: one [2,C]@[C,C] dot against the 0/1
+        # same-group mask (runs ONCE per image, unlike the r1 per-block fold)
+        g = jax.lax.dot_general(
+            stats_ref[:], gmask_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_c = g[0:1] / count
+        var_c = jnp.maximum(g[1:2] / count - mean_c * mean_c, 0.0)
+        a = jax.lax.rsqrt(var_c + eps) * sb_ref[0:1]
+        ab_ref[:] = jnp.concatenate([a, sb_ref[1:2] - mean_c * a], axis=0)
+
+    @pl.when(s >= nb)
+    def _():
+        i = s - nb
+        a = ab_ref[0:1, :]
+        bvec = ab_ref[1:2, :]
+
+        def act(rows):
+            y = rows.astype(jnp.float32) * a + bvec
+            if silu:
+                y = y * jax.nn.sigmoid(y)
+            return y.astype(act_ref.dtype)
+
+        act_ref[:] = jnp.zeros_like(act_ref)
+        for p in range(1, br + 1):
+            act_ref[p * wp + 1 : p * wp + 1 + width, :] = act(xm_ref[0, p - 1])
+
+        @pl.when(i > 0)
+        def _():
+            act_ref[1 : 1 + width, :] = act(xt_ref[0, 0])
+
+        @pl.when(i < nb - 1)
+        def _():
+            base = (br + 1) * wp + 1
+            act_ref[base : base + width, :] = act(xb_ref[0, 0])
+
+        n_out = br * wp
+        acc = jnp.broadcast_to(bias_ref[0:1, :].astype(jnp.float32), (n_out, cout))
+        for dy in range(3):
+            for dx in range(3):
+                patch = act_ref[dy * wp + dx : dy * wp + dx + n_out, :]
+                acc = acc + jax.lax.dot_general(
+                    patch, w_ref[dy, dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        for r in range(br):
+            out_ref[0, r] = acc[r * wp : r * wp + width, :].astype(out_dtype)
+
+
+def _vmem_estimate_v2(br: int, w: int, c: int, cout: int, itemsize: int) -> int:
+    return _vmem_estimate(br, w, c, cout, itemsize) + c * c * 4 + 4 * c * 4
+
+
+def _pick_row_block_v2(h: int, w: int, c: int, cout: int, itemsize: int) -> Optional[int]:
+    for br in (_ROW_BLOCK, 4, 2, 1):
+        if h % br == 0 and _vmem_estimate_v2(br, w, c, cout, itemsize) <= _VMEM_BUDGET:
+            return br
+    return None
+
+
+def _pallas_gn_conv_v2(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias):
+    """Single-call GN(+SiLU)->conv3x3: stats + fold + normalize + conv in one
+    pallas_call (see _conv_kernel_v2). HBM traffic: x read twice (stats pass +
+    conv pass) + 2 row-halos per conv block + out written twice (the stats-phase
+    block copies write garbage that the conv phase overwrites — Pallas copies
+    the out buffer back every grid step); all streams at full rate."""
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    gs = c // groups
+    br = _pick_row_block_v2(h, w, c, cout, x.dtype.itemsize) or _ROW_BLOCK
+    nb = h // br
+
+    sb = jnp.stack(
+        [gn_scale.astype(jnp.float32), gn_bias.astype(jnp.float32)], axis=0
+    )  # [2, C]
+    gidx = jnp.arange(c, dtype=jnp.int32) // gs
+    gmask = (gidx[:, None] == gidx[None, :]).astype(jnp.float32)  # [C, C]
+    wk = kernel.astype(x.dtype)
+    bias2 = (
+        conv_bias.astype(jnp.float32).reshape(1, cout)
+        if conv_bias is not None
+        else jnp.zeros((1, cout), jnp.float32)
+    )
+
+    kernel_fn = functools.partial(
+        _conv_kernel_v2, br=br, width=w, cout=cout, silu=silu, out_dtype=x.dtype,
+        eps=float(eps), count=float(h * w * gs),
+    )
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        grid=(b, 2 * nb),
+        in_specs=[
+            pl.BlockSpec((2, c), lambda bb, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bb, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, br, w, c), lambda bb, s: (bb, s % nb, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # 1-row halos (clamped; zeroed at the borders in-kernel). During the
+            # stats phase they pin to row 0 so consecutive steps skip the DMA.
+            pl.BlockSpec(
+                (1, 1, w, c),
+                lambda bb, s: (
+                    bb, jnp.where(s < nb, 0, jnp.maximum((s - nb) * br - 1, 0)), 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, w, c),
+                lambda bb, s: (
+                    bb,
+                    jnp.where(s < nb, 0, jnp.minimum((s - nb) * br + br, h - 1)),
+                    0, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, 3, c, cout), lambda bb, s: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bb, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, br, w, cout), lambda bb, s: (bb, s % nb, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((br + 2) * (w + 2) + 2, c), x.dtype),
+            pltpu.VMEM((2, c), jnp.float32),  # streaming [sum, sum_sq]
+            pltpu.VMEM((2, c), jnp.float32),  # folded per-channel [a, b]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # both axes sequential: the stats scratch must complete before the
+            # conv phase reads it, and resets at each new batch element
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(sb, gmask, x, x, x, wk, bias2)
+
+
+def _impl() -> str:
+    """Kernel implementation (trace-time): v1 = separate stats kernel + ab-input
+    conv kernel (the r3 shape); v2 = single two-phase call with in-kernel stats."""
+    return os.environ.get("E2EFT_GNCONV_IMPL", "v1")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fused(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias):
+    if _impl() == "v2":
+        return _pallas_gn_conv_v2(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias)
     return _pallas_gn_conv(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias)
 
 
@@ -256,12 +427,18 @@ def gn_silu_conv3x3(
     cout = kernel.shape[-1]
     if conv_bias is None:
         conv_bias = jnp.zeros((cout,), jnp.float32)
+    picker = _pick_row_block_v2 if _impl() == "v2" else _pick_row_block
+    # E2EFT_GNCONV_CMAX=N restricts fusion to layers with C <= N (per-layer
+    # dispatch sweeps: the 512-ch low-resolution layers are where the r4 trace
+    # saw XLA-conv layout wars; image-resolution 128/256-ch layers are the win)
+    cmax = int(os.environ.get("E2EFT_GNCONV_CMAX", "0")) or None
     usable = (
         _use_pallas()
         and c % groups == 0
         and c % 128 == 0
+        and (cmax is None or max(c, cout) <= cmax)
         and kernel.shape[:2] == (3, 3)
-        and _pick_row_block(h, w, c, cout, x.dtype.itemsize) is not None
+        and picker(h, w, c, cout, x.dtype.itemsize) is not None
     )
     if usable:
         out = _fused(x, gn_scale, gn_bias, groups, eps, silu, kernel, conv_bias)

@@ -193,7 +193,14 @@ def group_norm_silu(
     else:
         x3 = x
     c = x3.shape[-1]
-    ablate = os.environ.get("E2EFT_GN_ABLATE")
+    # Ablation hooks require the explicit E2EFT_PERF=1 opt-in as well: a leaked
+    # E2EFT_GN_ABLATE alone must not silently poison production graphs (the
+    # wrong-math graph would even persist in the compile cache) — ADVICE r4.
+    ablate = (
+        os.environ.get("E2EFT_GN_ABLATE")
+        if os.environ.get("E2EFT_PERF") == "1"
+        else None
+    )
     if ablate:
         # MEASUREMENT-ONLY cost decomposition (perf/gn_stats_sweep.py, PERF.md r4):
         # 'const' keeps the normalize+affine(+SiLU) apply but skips the stats

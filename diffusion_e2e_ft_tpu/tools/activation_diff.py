@@ -128,6 +128,63 @@ def load_dump(path: str) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def load_reference(path: str) -> Dict[str, np.ndarray]:
+    """Load reference activations from a single .npz OR a DIRECTORY of recorded
+    files (how a torch-side capture script naturally writes them): every
+    `*.npy` contributes one layer (key = filename stem, torch dot-dialect is
+    fine — `diff` canonicalizes), every `*.npz` is merged in wholesale. This is
+    the landing pad for published-checkpoint parity runs: record activations on
+    a CUDA host with the reference pipeline, rsync the directory here, and diff
+    without any torch-side packaging step (VERDICT r4 #7)."""
+    import os
+
+    if not os.path.isdir(path):
+        return load_dump(path)
+    acts: Dict[str, np.ndarray] = {}
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.endswith(".npy"):
+            acts[name[: -len(".npy")]] = np.load(full)
+        elif name.endswith(".npz"):
+            acts.update(load_dump(full))
+    if not acts:
+        raise FileNotFoundError(f"no .npy/.npz activation files under {path}")
+    return acts
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """CLI: diff our dump against a reference dump file or directory.
+
+    Exit code 0 = all layers within tolerance and no structural mismatches."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ours", required=True, help=".npz dump from our side")
+    ap.add_argument(
+        "--reference", required=True,
+        help=".npz file or directory of .npy/.npz recorded reference activations",
+    )
+    ap.add_argument("--rtol", type=float, default=1e-4)
+    ap.add_argument("--atol", type=float, default=1e-4)
+    ap.add_argument("--threshold", type=float, default=1e-3)
+    ap.add_argument("--top", type=int, default=20, help="rows to print")
+    args = ap.parse_args(argv)
+
+    rows = diff(load_dump(args.ours), load_reference(args.reference),
+                rtol=args.rtol, atol=args.atol)
+    for r in rows[: args.top]:
+        print(json.dumps(r, default=str))
+    structural = [r for r in rows if "max_abs_err" not in r]
+    worst = max((r["max_abs_err"] for r in rows if "max_abs_err" in r), default=0.0)
+    div = first_divergence(rows, args.threshold)
+    print(
+        f"layers={len(rows)} structural_mismatches={len(structural)} "
+        f"worst_abs_err={worst:.3e} first_divergence={div}"
+    )
+    return 1 if (structural or div is not None) else 0
+
+
 def first_divergence(
     rows: List[Dict[str, Any]], threshold: float = 1e-3
 ) -> Optional[str]:
@@ -138,3 +195,7 @@ def first_divergence(
         return None
     bad.sort(key=lambda r: (r["layer"].count("/"), len(r["layer"])))
     return bad[0]["layer"]
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,7 +103,15 @@ def run(out_path: str, image_hw=(192, 256)) -> int:
         pipe2.unet, {"params": pipe2.params["unet"]}, unet_in, t, ctx_b
     )
     diffs = AD.diff(acts_a, acts_b, atol=0.0, rtol=0.0)
-    worst = max((r.get("max_abs_err", 0.0) for r in diffs), default=0.0)
+    # Structural rows (only_in / shape mismatch) carry no max_abs_err; treating
+    # them as zero would let a DROPPED or renamed layer still print "ZERO-DIFF"
+    # (ADVICE r4). Any such row is itself a divergence.
+    structural = [r for r in diffs if "max_abs_err" not in r]
+    worst = max((r["max_abs_err"] for r in diffs if "max_abs_err" in r), default=0.0)
+    if structural:
+        worst = float("inf")
+        rows.append((f"STRUCTURAL MISMATCH: {len(structural)} rows "
+                     f"(e.g. {structural[0]})", float("inf")))
     rows.append((f"UNet intermediates ({len(diffs)} tensors, worst layer)", float(worst)))
 
     # 3. VAE decode

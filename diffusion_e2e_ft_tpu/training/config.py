@@ -58,6 +58,12 @@ class TrainConfig:
     # v5e) — but NOT at 768px inference decode, which is why VAEConfig defaults
     # it off and the trainer opts in here.
     fused_vae_kernels: bool = True
+    # Adam first-moment dtype (optax mu_dtype). bf16 halves the m buffer
+    # (~1.7 GB at 866M fp32 params) to relieve the optimizer-state HBM pressure
+    # that pins the UNet remat policy to save-nothing; m is a smoothed gradient
+    # average, tolerant of bf16 (v is kept fp32 — its rsqrt is precision-
+    # critical). None = fp32 (reference parity).
+    adam_mu_dtype: Optional[str] = None
     # GeoWizard joint trainer extras
     ssi_weight: float = 0.5
     angular_weight: float = 1.0

@@ -124,6 +124,7 @@ class E2ETrainer:
             c.lr_final_ratio,
             c.lr_warmup_steps * c.num_data_parallel,
         )
+        mu_dtype = jnp.dtype(c.adam_mu_dtype) if c.adam_mu_dtype else None
         base = optax.chain(
             optax.clip_by_global_norm(c.max_grad_norm),
             optax.adamw(
@@ -132,6 +133,7 @@ class E2ETrainer:
                 b2=c.adam_beta2,
                 eps=c.adam_epsilon,
                 weight_decay=c.adam_weight_decay,
+                mu_dtype=mu_dtype,
             ),
         )
         if c.class_embedding_lr_mult != 1.0:
@@ -153,6 +155,7 @@ class E2ETrainer:
                     b2=c.adam_beta2,
                     eps=c.adam_epsilon,
                     weight_decay=c.adam_weight_decay,
+                    mu_dtype=mu_dtype,
                 ),
             )
             base = optax.multi_transform(

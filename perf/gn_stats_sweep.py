@@ -31,7 +31,19 @@ sys.path.insert(0, "/root/repo")
 from xprof import bucket, trace_device_times  # noqa: E402
 
 
-_ROUNDTRIP_S = 0.026  # measured axon-tunnel dispatch->fetch constant (PERF.md r4)
+def _roundtrip_seconds(x) -> float:
+    """Dispatch->fetch roundtrip measured on an ALREADY-READY value (ADVICE r4:
+    a baked-in tunnel constant clamps sub-ms variants to ~0 on non-tunnel
+    hosts). Same approach as bench.py::_timeit."""
+    import time
+
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    float(np.asarray(leaf[(0,) * leaf.ndim]))  # ensure ready
+    t0 = time.perf_counter()
+    float(np.asarray(leaf[(0,) * leaf.ndim]))
+    return time.perf_counter() - t0
 
 
 def chained_seconds(step_fn, x0, iters: int = 30, warmup: int = 3) -> float:
@@ -57,12 +69,13 @@ def chained_seconds(step_fn, x0, iters: int = 30, warmup: int = 3) -> float:
     for _ in range(warmup):
         x = step_fn(x)
     sync_scalar(x)
+    roundtrip = _roundtrip_seconds(x)
     x = x0
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step_fn(x)
     sync_scalar(x)
-    return max((time.perf_counter() - t0 - _ROUNDTRIP_S) / iters, 0.0)
+    return max((time.perf_counter() - t0 - roundtrip) / iters, 0.0)
 
 GROUPS = 32
 EPS = 1e-6

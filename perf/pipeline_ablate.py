@@ -69,6 +69,7 @@ def main() -> None:
         return
     for mode in MODES:
         env = dict(os.environ)
+        env["E2EFT_PERF"] = "1"  # the ablate hook requires this explicit opt-in
         if mode != "full":
             env["E2EFT_GN_ABLATE"] = mode
         else:

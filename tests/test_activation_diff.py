@@ -57,3 +57,44 @@ def test_one_sided_layers_reported():
 def test_summarize():
     s = AD.summarize({"x": np.ones((2, 2), np.float32) * 3})
     assert s["x"]["mean"] == 3.0 and s["x"]["shape"] == [2, 2]
+
+
+def test_load_reference_directory(tmp_path):
+    """Directory mode: .npy files (torch dot-dialect stems) + .npz merged."""
+    from diffusion_e2e_ft_tpu.tools import activation_diff as AD
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.save(ref_dir / "down_blocks.0.resnets.1.npy", a)
+    AD.save_dump(str(ref_dir / "extra.npz"), {"mid_block/attn": a + 1.0})
+
+    ref = AD.load_reference(str(ref_dir))
+    assert set(map(AD.canonicalize_path, ref)) == {
+        "down_blocks_0/resnets_1", "mid_block/attn",
+    }
+
+    ours = {"down_blocks_0/resnets_1": a, "mid_block/attn": a + 1.0}
+    rows = AD.diff(ours, ref)
+    assert all(r.get("max_abs_err") == 0.0 for r in rows)
+
+
+def test_cli_main_divergence_and_exit_codes(tmp_path, capsys):
+    from diffusion_e2e_ft_tpu.tools import activation_diff as AD
+
+    a = np.ones((2, 2), np.float32)
+    ours_path = tmp_path / "ours.npz"
+    AD.save_dump(str(ours_path), {"layer_a": a, "layer_b": a})
+
+    ref_dir = tmp_path / "refdir"
+    ref_dir.mkdir()
+    np.save(ref_dir / "layer_a.npy", a)
+    np.save(ref_dir / "layer_b.npy", a)
+    assert AD.main(["--ours", str(ours_path), "--reference", str(ref_dir)]) == 0
+
+    np.save(ref_dir / "layer_b.npy", a + 0.5)  # diverged
+    assert AD.main(["--ours", str(ours_path), "--reference", str(ref_dir)]) == 1
+
+    np.save(ref_dir / "layer_c.npy", a)  # structural: extra reference layer
+    np.save(ref_dir / "layer_b.npy", a)
+    assert AD.main(["--ours", str(ours_path), "--reference", str(ref_dir)]) == 1

@@ -40,18 +40,20 @@ def _torch_pair(x, scale, bias, groups, eps, silu, kernel, conv_bias):
     return np.transpose(out.numpy(), (0, 2, 3, 1))
 
 
+@pytest.mark.parametrize("impl", ["v1", "v2"])
 @pytest.mark.parametrize(
     "b,h,w,c,co,silu",
     [(1, 16, 24, 128, 128, True), (2, 8, 10, 128, 256, True), (1, 16, 12, 256, 128, False)],
 )
-def test_matches_torch(b, h, w, c, co, silu):
+def test_matches_torch(b, h, w, c, co, silu, impl):
     rng = np.random.default_rng(0)
     x = rng.normal(size=(b, h, w, c)).astype(np.float32)
     s = rng.normal(size=(c,)).astype(np.float32)
     bi = rng.normal(size=(c,)).astype(np.float32)
     k = (rng.normal(size=(3, 3, c, co)) * 0.05).astype(np.float32)
     cb = rng.normal(size=(co,)).astype(np.float32)
-    out = gn_conv._pallas_gn_conv(
+    fn = gn_conv._pallas_gn_conv if impl == "v1" else gn_conv._pallas_gn_conv_v2
+    out = fn(
         jnp.asarray(x), jnp.asarray(s), jnp.asarray(bi), 32, 1e-6, silu,
         jnp.asarray(k), jnp.asarray(cb),
     )

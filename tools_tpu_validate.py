@@ -2,9 +2,61 @@
 
 Run on the real chip (ambient axon env): `python tools_tpu_validate.py`.
 The interpret-mode tests prove the kernel math; this proves the Mosaic lowering.
+
+`python tools_tpu_validate.py --dryrun-smoke` instead runs a 30-second-scale
+COLD-compile canary for the driver-scored multichip dryrun: it launches
+`__graft_entry__.py multichip 8` against a throwaway compile cache and asserts
+the FIRST case passes within its budget, so a creeping compile-time regression
+is caught without paying for the full four-case acceptance run every time
+(README pre-commit ritual; VERDICT r4 #8).
 """
 
 import numpy as np
+
+
+def dryrun_smoke(budget_s: float = 180.0) -> int:
+    """Cold first-case canary for dryrun_multichip. Returns 0 on pass.
+
+    Budget: case 1 measures ~77 s cold on this 1-core host (MULTICHIP_COLD_RUN.log);
+    180 s trips well before the 600 s driver budget would be at risk (the full
+    four-case run fits only if case 1 stays ~O(80 s))."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.TemporaryDirectory() as cache:
+        env = dict(os.environ)
+        env["E2EFT_DRYRUN_CACHE"] = cache
+        t0 = time.time()
+        # hard timeout on the child: the dryrun prints nothing until case 1
+        # completes, so the read loop below would otherwise block past budget
+        proc = subprocess.Popen(
+            ["timeout", str(int(budget_s) + 15), sys.executable, "-u",
+             os.path.join(here, "__graft_entry__.py"), "multichip", "8"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        try:
+            for line in proc.stdout:
+                if "[1/4] PASS" in line:
+                    dt = time.time() - t0
+                    ok = dt <= budget_s
+                    print(f"dryrun-smoke: first case PASS in {dt:.0f}s "
+                          f"(budget {budget_s:.0f}s) {'OK' if ok else 'FAIL'}")
+                    return 0 if ok else 1
+                if time.time() - t0 > budget_s:
+                    print(f"dryrun-smoke: no first-case PASS within {budget_s:.0f}s FAIL")
+                    return 1
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    print("dryrun-smoke: process ended without a first-case PASS FAIL")
+    return 1
 
 
 def main():
@@ -61,6 +113,27 @@ def main():
             f"max_err={err:.4f} (tol {tol:.4f}) {'OK' if ok else 'FAIL'}", flush=True,
         )
 
+    # ---- fused GN+SiLU->conv3x3, both kernel generations ------------------
+    from diffusion_e2e_ft_tpu.kernels import gn_conv as gc
+
+    for (b, h, w, c, co) in [(1, 96, 96, 512, 512), (1, 192, 192, 256, 128),
+                             (2, 64, 80, 128, 128)]:
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+        kern = jnp.asarray((rng.normal(size=(3, 3, c, co)) * 0.02).astype(np.float32), jnp.bfloat16)
+        cb = jnp.asarray((rng.normal(size=(co,)) * 0.01).astype(np.float32))
+        ref = jax.jit(lambda x: gc._xla_gn_conv(x, scale, bias, 32, 1e-6, True, kern, cb, None))(x)
+        mag = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        for impl, fn in (("v1", gc._pallas_gn_conv), ("v2", gc._pallas_gn_conv_v2)):
+            out = jax.jit(lambda x: fn(x, scale, bias, 32, 1e-6, True, kern, cb))(x)
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+            tol = 0.02 * max(mag, 1.0)
+            ok = err < tol
+            failures += 0 if ok else 1
+            print(f"gn_conv {impl} ({b},{h},{w},{c}->{co}): max_err={err:.4f} "
+                  f"(tol {tol:.4f}) {'OK' if ok else 'FAIL'}", flush=True)
+
     # ---- flash-attention BACKWARD (Pallas dq/dk/dv vs XLA recompute) ----
     # The training path: bf16 q/k/v at SD2 shapes, fp32 cotangent reduction.
     # Tolerances are relative to the XLA-recompute grads' own magnitude (both
@@ -100,4 +173,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--dryrun-smoke" in _sys.argv:
+        raise SystemExit(dryrun_smoke())
     raise SystemExit(main())
