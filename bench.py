@@ -157,6 +157,16 @@ def bench_train(res=480, width=640, batch=2, **cfg_overrides):
         jax.random.key(0), jnp.ones((1, 8, 8, 8)), jnp.asarray([999]), jnp.ones((1, 2, 1024))
     )["params"]
     vp = jax.jit(vae.init)(jax.random.key(1), jnp.ones((1, 64, 64, 3)))["params"]
+    # sweep knobs (one case per process — PERF.md: in-process case accumulation
+    # flips OOM verdicts): E2EFT_TRAIN_MU=bfloat16 (Adam m dtype),
+    # E2EFT_TRAIN_REMAT=dots|dots_all (UNet remat policy), E2EFT_TRAIN_VAEDC=1
+    # (remat the frozen-VAE decode)
+    if os.environ.get("E2EFT_TRAIN_MU"):
+        cfg_overrides.setdefault("adam_mu_dtype", os.environ["E2EFT_TRAIN_MU"])
+    if os.environ.get("E2EFT_TRAIN_REMAT"):
+        cfg_overrides.setdefault("remat_policy", os.environ["E2EFT_TRAIN_REMAT"])
+    if os.environ.get("E2EFT_TRAIN_VAEDC"):
+        cfg_overrides.setdefault("vae_decode_checkpoint", True)
     cfg = TrainConfig(
         gradient_accumulation_steps=1, gradient_checkpointing=True, **cfg_overrides
     )

@@ -217,6 +217,42 @@ def exp_c():
               flush=True)
 
 
+def exp_e():
+    """(bq, bk) sweep at the GeoWizard joint shape [8, 18432, 40] — exp C refuted
+    head-dim padding (the kernel is program-overhead-bound at d=40, VERDICT r4),
+    so the lever is fewer/bigger programs, swept here the way exp A did at d=64.
+    The [bq, bk] fp32 logits block is the VMEM hog and is head-dim independent,
+    so blocks beyond 1536x1536 should OOM exactly as at d=64."""
+    from diffusion_e2e_ft_tpu.kernels import flash_attention as FA
+
+    bn, L, d = 8, 18432, 40
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    scale = d**-0.5
+    flops = 2 * 2 * bn * L * L * d
+    print(f"=== E: joint-attn (bq,bk) sweep [{bn},{L},{d}] "
+          f"(d-padded MXU floor ~{flops / 197e12 * 128 / 40 * 1e3:.2f} ms) ===", flush=True)
+    for bq, bk in ((1024, 1024), (1536, 1536), (2304, 1536), (1536, 1024),
+                   (2304, 1024), (3072, 1024), (2304, 2304), (4608, 768),
+                   (9216, 512), (1024, 1536)):
+        os.environ["E2EFT_FA_BQ"] = str(bq)
+
+        def step(q, _bk=bk):
+            return FA._flash_bnld(q, k, v, scale, _bk)
+
+        try:
+            t = chained_seconds(jax.jit(step), q0, iters=10)
+            print(f"  bq{bq:5d} bk{bk:5d} {t*1e3:7.3f} ms  ({flops/t/1e12:5.1f} TF/s)",
+                  flush=True)
+        except Exception as e:
+            print(f"  bq{bq:5d} bk{bk:5d} FAILED: {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+        finally:
+            del os.environ["E2EFT_FA_BQ"]
+
+
 def exp_d():
     """Dump the OPTIMIZED HLO of the 768px `_infer_jit` (compile-cache hit) so the
     pathological stats fusions from the trace (%fusion.41/.94, 3.6 ms for a sub-ms
@@ -258,6 +294,8 @@ def main():
         exp_b()
     if which in ("D", "all"):
         exp_d()
+    if which in ("E", "all"):
+        exp_e()
 
 
 if __name__ == "__main__":
