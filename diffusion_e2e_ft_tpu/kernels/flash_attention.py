@@ -40,6 +40,12 @@ _BLOCK_Q = 256
 # 1024 remains next (r2 sweep: 1.54 ms vs 2.71 at 512 on the same shape);
 # smaller chunks remain for sequence lengths the big blocks don't divide.
 _KV_CHUNKS = (1536, 1024, 768, 512, 384, 256, 192, 128)
+# At d < 64 (GeoWizard/SD1.5 level-0 heads, d=40) the r5 exp-E sweep at
+# [8, 18432, 40] INVERTS the d=64 result: (1024,1024)=8.87 ms beats
+# (1536,1536)=10.20 ms and every taller-q variant (1536q=8.98, 2304q=9.54,
+# 512q=10.23) — at 40 contraction lanes the bigger block's extra VMEM pressure
+# buys no MXU occupancy, so 1024-first there (PERF.md r5).
+_KV_CHUNKS_NARROW = (1024, 1536, 768, 512, 384, 256, 192, 128)
 # At d > 64 (the VAE's single 512-dim head) the K/V blocks are 8x wider in VMEM
 # and the grid already has few programs, so the 1536 preference is unmeasured
 # upside with real OOM risk — keep the r2-swept 1024-first order there.
@@ -64,28 +70,44 @@ def _pick_block_k(lk: int, d: int = 64) -> Optional[int]:
         # (ADVICE r4). Sweeps that need sub-length blocks call the kernel
         # directly with an explicit block_k.
         return int(env)
-    chunks = _KV_CHUNKS if d <= 64 else _KV_CHUNKS_WIDE
+    if d > 64:
+        chunks = _KV_CHUNKS_WIDE
+    elif d < 64:
+        chunks = _KV_CHUNKS_NARROW
+    else:
+        chunks = _KV_CHUNKS
     exact = next((c for c in chunks if lk % c == 0), None)
     if exact is not None and exact >= 512:
         return exact
-    # padded candidates: fewest programs first, bounded waste, tie -> big block
-    best = None
-    for c in (1536, 1024) if d <= 64 else (1024,):
-        pad = (-lk) % c
-        if lk >= c and pad / (lk + pad) <= 0.20:
-            cand = (-(-lk // c), -c, c)
-            if best is None or cand < best:
-                best = cand
-    if best is not None:
-        return best[2]
+    # padded candidates, preference order matching the swept chunk order:
+    # d == 64 -> fewest programs first, tie -> big block (1536 wins exp A);
+    # d < 64  -> 1024 first (exp E); d > 64 -> 1024 only (VMEM)
+    if d == 64:
+        best = None
+        for c in (1536, 1024):
+            pad = (-lk) % c
+            if lk >= c and pad / (lk + pad) <= 0.20:
+                cand = (-(-lk // c), -c, c)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            return best[2]
+    else:
+        for c in (1024, 1536) if d < 64 else (1024,):
+            pad = (-lk) % c
+            if lk >= c and pad / (lk + pad) <= 0.20:
+                return c
     return exact
 
 
 def _default_bq(lq: int, d: int) -> int:
-    """Taller Q blocks restore MXU occupancy at small head dims; 1536 only when
-    it divides Lq (padding a 4800-token train sequence to 6144 wastes 28%)."""
+    """Q-block default by head dim: at d == 64 the r4 exp-A sweep showed 1536
+    wins when it divides Lq (padding a 4800-token train sequence to 6144 wastes
+    28%); at d < 64 the r5 exp-E sweep showed 1024 beats every taller block."""
     if d > 64:
         return _BLOCK_Q
+    if d < 64:
+        return 1024
     return 1536 if lq % 1536 == 0 else 1024
 
 

@@ -9,10 +9,10 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPEAT = 16  # chained ops per dispatch
 ITERS = 8  # timed dispatches
@@ -26,6 +26,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from gn_stats_sweep import chained_seconds
 
     from diffusion_e2e_ft_tpu.kernels import gn_conv
 
@@ -61,13 +63,9 @@ def main():
         out = {}
         for name, fn in [("pallas", fused), ("xla", xla)]:
             try:
-                y = fn(x)
-                y.block_until_ready()
-                t0 = time.perf_counter()
-                for _ in range(ITERS):
-                    y = fn(x)
-                y.block_until_ready()
-                dt = (time.perf_counter() - t0) / (ITERS * REPEAT) * 1e3
+                # chained_seconds: tunnel-proof (scalar-fetch sync, measured
+                # roundtrip subtracted); each step is itself REPEAT chained ops
+                dt = chained_seconds(fn, x, iters=ITERS) / REPEAT * 1e3
                 out[name] = dt
                 err = ""
             except Exception as e:  # noqa: BLE001

@@ -234,9 +234,15 @@ def exp_e():
     flops = 2 * 2 * bn * L * L * d
     print(f"=== E: joint-attn (bq,bk) sweep [{bn},{L},{d}] "
           f"(d-padded MXU floor ~{flops / 197e12 * 128 / 40 * 1e3:.2f} ms) ===", flush=True)
-    for bq, bk in ((1024, 1024), (1536, 1536), (2304, 1536), (1536, 1024),
-                   (2304, 1024), (3072, 1024), (2304, 2304), (4608, 768),
-                   (9216, 512), (1024, 1536)):
+    grid_env = os.environ.get("E2EFT_SWEEP_BLOCKS")  # "2304x1024,3072x1024"
+    grid = (
+        tuple(tuple(int(v) for v in pair.split("x")) for pair in grid_env.split(","))
+        if grid_env
+        else ((1024, 1024), (1536, 1536), (2304, 1536), (1536, 1024),
+              (2304, 1024), (3072, 1024), (2304, 2304), (4608, 768),
+              (9216, 512), (1024, 1536))
+    )
+    for bq, bk in grid:
         os.environ["E2EFT_FA_BQ"] = str(bq)
 
         def step(q, _bk=bk):

@@ -244,4 +244,12 @@ class TestPaddedKV:
         assert fa._pick_block_k(9600, 64) == 1536   # joint train: pad ->10752
         assert fa._pick_block_k(576, 64) == 192     # small: exact beats waste
         assert fa._pick_block_k(77, 64) is None     # cross-attn: XLA fallback
+        # d < 64 (GeoWizard/SD1.5 level-0 heads): r5 exp-E sweep at
+        # [8, 18432, 40] inverts the d=64 preference — 1024 beats 1536
+        assert fa._pick_block_k(18432, 40) == 1024  # GeoWizard joint inference
+        assert fa._pick_block_k(9216, 40) == 1024   # SD1.5 single-task 768px
+        assert fa._pick_block_k(9600, 40) == 1024   # joint train: pad ->10240
+        assert fa._default_bq(18432, 40) == 1024
+        assert fa._default_bq(9216, 64) == 1536
+        assert fa._default_bq(9216, 512) == fa._BLOCK_Q
         assert fa._pick_block_k(300, 64) is None
