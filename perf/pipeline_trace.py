@@ -72,6 +72,12 @@ def main():
     for k, v in bucket(times).items():
         print(f"  {v*1e3:8.3f} ms  [{k}]")
     print(top_ops(times, 40))
+    dump = os.environ.get("E2EFT_TRACE_DUMP")  # full per-op rows for offline analysis
+    if dump:
+        with open(dump, "w") as f:
+            for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+                f.write(f"{v*1e3:.4f}\t{k}\n")
+        print(f"wrote {len(times)} op rows to {dump}")
 
 
 if __name__ == "__main__":
