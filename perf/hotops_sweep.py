@@ -259,6 +259,42 @@ def exp_e():
             del os.environ["E2EFT_FA_BQ"]
 
 
+def exp_f():
+    """Heads-per-program sweep at the GeoWizard joint shape [8, 18432, 40] —
+    exp E exhausted block shape at 1.26x the d-padded floor; the residue is
+    per-program overhead, attacked here by packing hp heads into one program
+    (kernels/flash_attention.py::_flash_kernel_mh) so the prologue amortizes."""
+    from diffusion_e2e_ft_tpu.kernels import flash_attention as FA
+
+    bn, L, d = 8, 18432, 40
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(bn, L, d)), jnp.bfloat16)
+    scale = d**-0.5
+    flops = 2 * 2 * bn * L * L * d
+    print(f"=== F: joint-attn heads-per-program sweep [{bn},{L},{d}] "
+          f"(d-padded MXU floor ~{flops / 197e12 * 128 / 40 * 1e3:.2f} ms) ===", flush=True)
+    for hp in (1, 2, 4, 8):
+        for bq, bk in ((1024, 1024), (512, 1024), (1024, 512), (512, 512)):
+            os.environ["E2EFT_FA_BQ"] = str(bq)
+            os.environ["E2EFT_FA_HP"] = str(hp)
+
+            def step(q, _bk=bk):
+                return FA._flash_bnld(q, k, v, scale, _bk)
+
+            try:
+                t = chained_seconds(jax.jit(step), q0, iters=10)
+                print(f"  hp{hp} bq{bq:5d} bk{bk:5d} {t*1e3:7.3f} ms  "
+                      f"({flops/t/1e12:5.1f} TF/s)", flush=True)
+            except Exception as e:
+                print(f"  hp{hp} bq{bq:5d} bk{bk:5d} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:90]}", flush=True)
+            finally:
+                del os.environ["E2EFT_FA_BQ"]
+                del os.environ["E2EFT_FA_HP"]
+
+
 def exp_d():
     """Dump the OPTIMIZED HLO of the 768px `_infer_jit` (compile-cache hit) so the
     pathological stats fusions from the trace (%fusion.41/.94, 3.6 ms for a sub-ms
@@ -302,6 +338,8 @@ def main():
         exp_d()
     if which in ("E", "all"):
         exp_e()
+    if which in ("F", "all"):
+        exp_f()
 
 
 if __name__ == "__main__":

@@ -253,3 +253,40 @@ class TestPaddedKV:
         assert fa._default_bq(9216, 64) == 1536
         assert fa._default_bq(9216, 512) == fa._BLOCK_Q
         assert fa._pick_block_k(300, 64) is None
+
+
+class TestMultiHeadPacking:
+    """hp-heads-per-program forward (`_flash_kernel_mh`) — exact parity with the
+    hp=1 kernel and the XLA reference at GeoWizard's narrow head dim (d=40)."""
+
+    def test_mh_matches_xla(self, monkeypatch):
+        monkeypatch.setenv("E2EFT_FA_HP", "2")
+        q, k, v = _mk(2, 256, 2, 40, seed=30)  # bn=4, hp=2 -> 2 head-pairs
+        out = fa._flash_btnh(q, k, v, 40**-0.5, 128)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_mh_padded_kv(self, monkeypatch):
+        monkeypatch.setenv("E2EFT_FA_HP", "2")
+        q, k, v = _mk(1, 256, 2, 40, lk=300, seed=31)  # 300 -> 2 blocks of 192
+        out = fa._flash_btnh(q, k, v, 40**-0.5, 192)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_mh_joint_lengths(self, monkeypatch):
+        monkeypatch.setenv("E2EFT_FA_HP", "4")
+        q, k, v = _mk(1, 128, 4, 40, lk=256, seed=32)
+        out = fa._flash_btnh(q, k, v, 40**-0.5, 128)
+        ref = attn._xla_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_hp_picker_gates(self, monkeypatch):
+        # default off
+        assert fa._pick_heads_per_program(8, 18432, 18432, 40, 1024, 1024, 2) == 1
+        monkeypatch.setenv("E2EFT_FA_HP", "2")
+        # applies at the GeoWizard joint shape
+        assert fa._pick_heads_per_program(8, 18432, 18432, 40, 1024, 1024, 2) == 2
+        # never at wide heads, indivisible bn, or sub-block sequences
+        assert fa._pick_heads_per_program(8, 9216, 9216, 64, 1024, 1024, 2) == 1
+        assert fa._pick_heads_per_program(5, 18432, 18432, 40, 1024, 1024, 2) == 1
+        assert fa._pick_heads_per_program(8, 512, 18432, 40, 1024, 1024, 2) == 1
