@@ -76,12 +76,14 @@ def bench_depth():
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     # E2EFT_BENCH_FUSED=1 A/Bs the fused gn_conv VAE in the inference pipeline
-    # (pair with E2EFT_GNCONV_IMPL to select the kernel generation)
+    # (pair with E2EFT_GNCONV_IMPL to select the kernel generation);
+    # E2EFT_BENCH_SUBPIX=1 A/Bs the sub-pixel decoder upsamplers
     fused = os.environ.get("E2EFT_BENCH_FUSED") == "1"
+    subpix = os.environ.get("E2EFT_BENCH_SUBPIX") == "1"
     pipe = MarigoldPipeline.from_random(
         jax.random.key(0),
         unet_config=UNetConfig(),
-        vae_config=VAEConfig(fused_gn_conv=fused),
+        vae_config=VAEConfig(fused_gn_conv=fused, subpixel_upsample=subpix),
         scheduler_config=S.SchedulerConfig(),
         dtype=dtype,
     )
@@ -112,10 +114,11 @@ def bench_geowizard():
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     fused = os.environ.get("E2EFT_BENCH_FUSED") == "1"
+    subpix = os.environ.get("E2EFT_BENCH_SUBPIX") == "1"
     pipe = GeoWizardPipeline.from_random(
         jax.random.key(0),
         unet_config=UNetConfig.geowizard(),
-        vae_config=VAEConfig(fused_gn_conv=fused),
+        vae_config=VAEConfig(fused_gn_conv=fused, subpixel_upsample=subpix),
         vision_config=CLIPVisionConfig(),  # full CLIP ViT-L/14
         scheduler_config=S.SchedulerConfig(prediction_type="v_prediction"),
         dtype=dtype,

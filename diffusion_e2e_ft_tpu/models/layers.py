@@ -194,16 +194,79 @@ class Downsample(nn.Module):
         )(x)
 
 
+class _SubpixelConv3x3(nn.Module):
+    """conv3x3(nearest2x(x)) computed WITHOUT materializing the 2x tensor.
+
+    A 3x3 conv over a nearest-2x-upsampled grid decomposes exactly by output
+    parity (a, b): out[2i+a, 2j+b] sees x rows {i+a-1, i+a} and cols
+    {j+b-1, j+b} with 2x2 effective kernels whose taps are sums of the 3x3
+    taps (rows a=0 -> (w0, w1+w2), a=1 -> (w0+w1, w2); same for columns).
+    That is one [2, 2, C, 4*Cout] conv over the (H+1)x(W+1)-padded input plus
+    a depth-to-space interleave — 16 vs 36 MACs per (cin, cout, output-pixel)
+    (2.25x fewer FLOPs) and the [2H, 2W, C] upsampled tensor (302 MB at the
+    768px decoder's last stage) never touches HBM. Weight sums fold in fp32
+    at trace time; math is exact up to fp reassociation (pinned by
+    tests/test_subpixel_upsample.py).
+
+    Param tree matches `nn.Conv(name="conv")` (kernel [3,3,C,Cout] + bias) so
+    checkpoints and the HF converter are oblivious to which path runs."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        bsz, h, w, cin = x.shape
+        cout = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, cout), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+
+        wk = kernel.astype(jnp.float32)
+        rows = (
+            jnp.stack([wk[0], wk[1] + wk[2]]),  # even output rows
+            jnp.stack([wk[0] + wk[1], wk[2]]),  # odd output rows
+        )
+        quads = []
+        for a in (0, 1):
+            r = rows[a]
+            quads.append(jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1))  # b = 0
+            quads.append(jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1))  # b = 1
+        w4 = jnp.concatenate(quads, axis=-1).astype(self.dtype)  # [2, 2, C, 4*Cout]
+
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, w4, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )  # [B, H+1, W+1, 4*Cout]; window (p, q) covers x[p-1..p, q-1..q]
+        y00 = y[:, 0:h, 0:w, 0 * cout : 1 * cout]
+        y01 = y[:, 0:h, 1 : w + 1, 1 * cout : 2 * cout]
+        y10 = y[:, 1 : h + 1, 0:w, 2 * cout : 3 * cout]
+        y11 = y[:, 1 : h + 1, 1 : w + 1, 3 * cout : 4 * cout]
+        z = jnp.stack(
+            [jnp.stack([y00, y01], axis=3), jnp.stack([y10, y11], axis=3)], axis=2
+        )  # [B, H, 2, W, 2, Cout]
+        out = z.reshape(bsz, 2 * h, 2 * w, cout) + bias.astype(self.dtype)
+        return out
+
+
 class Upsample(nn.Module):
-    """Nearest 2x (or to an explicit target size, so odd skip sizes reconnect) + conv."""
+    """Nearest 2x (or to an explicit target size, so odd skip sizes reconnect) + conv.
+
+    `subpixel=True` routes the exact-2x case through the depth-to-space
+    decomposition (`_SubpixelConv3x3`, identical params and math); explicit
+    odd targets always take the resize path."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: Array, out_hw: Optional[tuple] = None) -> Array:
         b, h, w, c = x.shape
         target = out_hw if out_hw is not None else (h * 2, w * 2)
+        if self.subpixel and target == (h * 2, w * 2):
+            return _SubpixelConv3x3(self.channels, dtype=self.dtype, name="conv")(x)
         x = jax.image.resize(x, (b, target[0], target[1], c), method="nearest")
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 

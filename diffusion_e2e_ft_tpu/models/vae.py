@@ -41,6 +41,12 @@ class VAEConfig:
     # XLA's fusion chain (measured 10.24 -> 6.26 img/s); it WINS on the training
     # step (494 -> 420 ms/step), so E2ETrainer turns it on for its own VAE.
     fused_gn_conv: bool = False
+    # Exact sub-pixel (depth-to-space) decomposition of the decoder's
+    # nearest2x->conv3x3 upsamplers (layers._SubpixelConv3x3): 2.25x fewer conv
+    # FLOPs, no [2H, 2W, C] materialization. Identical params + math; default
+    # OFF pending the in-pipeline on-chip A/B (r3 lesson: standalone kernel
+    # wins have lost in-pipeline to XLA layout wars).
+    subpixel_upsample: bool = False
     dtype: str = "float32"
 
     @property
@@ -111,6 +117,7 @@ class _DecoderUp(nn.Module):
     groups: int
     dtype: jnp.dtype
     fused: bool = False
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -120,7 +127,8 @@ class _DecoderUp(nn.Module):
                 fused=self.fused, dtype=self.dtype, name=f"resnets_{j}",
             )(x)
         if self.add_upsample:
-            x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample(self.out_channels, dtype=self.dtype,
+                         subpixel=self.subpixel, name="upsamplers_0")(x)
         return x
 
 
@@ -139,7 +147,7 @@ class Decoder(nn.Module):
                 ch, c.layers_per_block + 1,
                 add_upsample=(i < len(up_channels) - 1),
                 groups=c.norm_num_groups, dtype=dt, fused=c.fused_gn_conv,
-                name=f"up_blocks_{i}",
+                subpixel=c.subpixel_upsample, name=f"up_blocks_{i}",
             )(x)
         x = GroupNormAct(c.norm_num_groups, eps=1e-6, dtype=dt, name="conv_norm_out")(x)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)

@@ -20,6 +20,10 @@ run fused_v2       env E2EFT_BENCH_FUSED=1 E2EFT_GNCONV_IMPL=v2 python bench.py
 # 512ch low-res layers are where XLA conv layout wars bite)
 run fused_v2_c256  env E2EFT_BENCH_FUSED=1 E2EFT_GNCONV_IMPL=v2 E2EFT_GNCONV_CMAX=256 python bench.py
 
+# 1b. Sub-pixel decoder upsamplers (exact math, 2.25x fewer conv FLOPs)
+run subpix         env E2EFT_BENCH_SUBPIX=1 python bench.py
+run subpix_v2      env E2EFT_BENCH_SUBPIX=1 E2EFT_BENCH_FUSED=1 E2EFT_GNCONV_IMPL=v2 python bench.py
+
 # 2. Train-step sweep (VERDICT #3; r4: 422.6 ms/step = 4.73 img/s at bs2 480x640)
 run train_base     env E2EFT_BENCH=train python bench.py
 run train_mu16     env E2EFT_BENCH=train E2EFT_TRAIN_MU=bfloat16 python bench.py
