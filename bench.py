@@ -154,7 +154,15 @@ def bench_train(res=480, width=640, batch=2, **cfg_overrides):
     platform = jax.devices()[0].platform
     dtype = "bfloat16" if platform == "tpu" else "float32"
     unet = UNet2DCondition(UNetConfig(dtype=dtype))
-    vae = AutoencoderKL(VAEConfig(dtype=dtype))
+    # The frozen-VAE decode (fwd + VJP at image resolution) is the r4-named
+    # train-step sink; both levers are exact-math / identical-param-tree, so
+    # they apply to training unchanged: E2EFT_TRAIN_SUBPIX=1 (sub-pixel decoder
+    # upsamplers, 2.25x fewer conv FLOPs), E2EFT_TRAIN_FUSED=1 (+GNCONV_IMPL)
+    vae = AutoencoderKL(VAEConfig(
+        dtype=dtype,
+        fused_gn_conv=os.environ.get("E2EFT_TRAIN_FUSED") == "1",
+        subpixel_upsample=os.environ.get("E2EFT_TRAIN_SUBPIX") == "1",
+    ))
     rng = np.random.default_rng(0)
     up = jax.jit(unet.init)(
         jax.random.key(0), jnp.ones((1, 8, 8, 8)), jnp.asarray([999]), jnp.ones((1, 2, 1024))

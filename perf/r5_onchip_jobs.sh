@@ -9,9 +9,10 @@ mkdir -p perf/logs
 run() {
   local name="$1"; shift
   echo "=== JOB $name: $* ==="
-  /usr/bin/time -f "%e s wall" timeout 2400 "$@" >"perf/logs/${name}.log" 2>&1
+  local t0=$SECONDS
+  timeout 2400 "$@" >"perf/logs/${name}.log" 2>&1
   local rc=$?
-  echo "--- $name rc=$rc tail:"; tail -4 "perf/logs/${name}.log"
+  echo "--- $name rc=$rc wall=$((SECONDS-t0))s tail:"; tail -4 "perf/logs/${name}.log"
 }
 
 # 1. In-pipeline gn_conv v2 A/B (VERDICT #2). Baseline 10.638 img/s measured.
