@@ -341,7 +341,12 @@ class MarigoldPipeline:
     def find_batch_size(ensemble_size: int, max_res: int) -> int:
         """TPU v5e (16 GB HBM) ensemble batching table — the reference's VRAM lookup
         (`/root/reference/Marigold/marigold/util/batchsize.py:26-81`) re-derived for
-        one chip: activations dominate at ~res^2 * 4e-4 MB."""
+        one chip and MEASURED on-chip (`perf/batch_latency_sweep.py`, r5
+        `perf/logs/batch_sweep.log`): per-image device time is FLAT in batch at
+        every resolution (512: 37.7/37.6 ms at bs 4/8; 768: 93.0 ms at bs 2-4;
+        1024: 181/179 ms at bs 1/2) because ensemble members run through the
+        batch-1 graph under `lax.map` — the table therefore only caps HBM, and
+        every row below fits."""
         if max_res <= 512:
             bs = 8
         elif max_res <= 768:
